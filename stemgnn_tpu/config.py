@@ -1,0 +1,118 @@
+"""Configuration dataclasses for stemgnn_tpu.
+
+The flag surface mirrors the reference CLI (main.py:9-30) — same names and
+defaults — with the reference's argparse bugs fixed (its `type=bool` flags
+treat the string "False" as truthy; we parse booleans properly) and
+TPU-specific knobs added (mesh shape, kernel selection, dtype policy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class StemGNNConfig:
+    """Model hyperparameters (reference Model.__init__, base_model.py:79-104)."""
+
+    units: int  # node count N; the reference hard-codes GRU hidden == N
+    window_size: int = 12  # W, FFT/sequence length (main.py:13)
+    horizon: int = 3  # forecast steps (main.py:14)
+    multi_layer: int = 5  # channel multiplier m (main.py:20)
+    stack_cnt: int = 2  # two residual stacks (handler.py:105)
+    dropout_rate: float = 0.5  # on attention rows (base_model.py:103,161)
+    leaky_rate: float = 0.2  # attention LeakyReLU slope (base_model.py:102)
+
+    @property
+    def wm(self) -> int:
+        """Expanded spectral width W*m (base_model.py:24-25)."""
+        return self.window_size * self.multi_layer
+
+    @property
+    def glu_in(self) -> int:
+        """GLU stack input width 4*W (base_model.py:37)."""
+        return 4 * self.window_size
+
+    @property
+    def glu_out(self) -> int:
+        """GLU stack hidden width 4*W*m = W*output_channel (base_model.py:34,37)."""
+        return 4 * self.window_size * self.multi_layer
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training/eval configuration (reference main.py flags + TPU additions)."""
+
+    # --- reference flags, same names/defaults (main.py:9-30) ---
+    train: bool = True
+    evaluate: bool = True
+    dataset: str = "ECG_data"
+    window_size: int = 12
+    horizon: int = 3
+    train_length: float = 7.0
+    valid_length: float = 2.0
+    test_length: float = 1.0
+    epoch: int = 50
+    lr: float = 1e-4
+    multi_layer: int = 5
+    device: str = "tpu"  # reference default 'cpu'; here: jax platform hint
+    validate_freq: int = 1
+    batch_size: int = 32
+    norm_method: str = "z_score"  # 'z_score' | 'min_max' | ''
+    optimizer: str = "RMSProp"  # 'RMSProp' | anything-else => Adam (handler.py:126-129)
+    early_stop: bool = False
+    early_stop_step: int = 5  # referenced but undeclared in the reference (handler.py:189)
+    exponential_decay_step: int = 5
+    decay_rate: float = 0.5
+    dropout_rate: float = 0.5
+    leakyrelu_rate: float = 0.2
+    # --- framework additions (no reference counterpart) ---
+    seed: int = 0  # torch.manual_seed(0) at main.py:52
+    use_pallas: bool = False  # route hot ops through Pallas kernels
+    data_axis: int = 1  # mesh size along 'data' (DP)
+    graph_axis: int = 1  # mesh size along 'graph' (node-block partition)
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # 'bfloat16' for MXU-native speed
+    resume: bool = False  # restore params+opt state+epoch from last checkpoint
+    log_jsonl: bool = True  # structured per-epoch metrics JSONL
+    data_dir: str = "dataset"
+    output_dir: str = "output"
+
+    def model_config(self, node_cnt: int) -> StemGNNConfig:
+        return StemGNNConfig(
+            units=node_cnt,
+            window_size=self.window_size,
+            horizon=self.horizon,
+            multi_layer=self.multi_layer,
+            stack_cnt=2,
+            dropout_rate=self.dropout_rate,
+            leaky_rate=self.leakyrelu_rate,
+        )
+
+
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "0"):
+        return False
+    raise ValueError(f"not a boolean: {v!r}")
+
+
+def add_cli_args(parser) -> None:
+    """Register the reference's 21 flags (fixed bool parsing) + TPU flags."""
+    defaults = TrainConfig()
+    for field in dataclasses.fields(TrainConfig):
+        name = f"--{field.name}"
+        default = getattr(defaults, field.name)
+        if field.type in ("bool", bool):
+            parser.add_argument(name, type=_str2bool, default=default)
+        else:
+            parser.add_argument(name, type=type(default), default=default)
+
+
+def config_from_args(args) -> TrainConfig:
+    kwargs = {f.name: getattr(args, f.name) for f in dataclasses.fields(TrainConfig)}
+    return TrainConfig(**kwargs)

@@ -1,0 +1,239 @@
+"""The StemGNN model as a pure-functional JAX program.
+
+Architecture (reference base_model.py, re-designed TPU-first):
+
+  x [B, W, N]
+    └─ latent correlation layer (base_model.py:136-149)
+         GRU over the NODE axis (quirk: sequence = nodes, feature = window;
+         base_model.py:137) -> rank-1 additive attention [B,N,N] -> batch
+         mean -> degree (pre-symmetrization) -> symmetrize -> normalized
+         Laplacian -> Chebyshev basis with T0=0 -> mul_L [4,N,N]
+    └─ 2 residual stacks (base_model.py:171-173)
+         block: cheb graph conv -> FFT/GLU/iFFT spe-seq cell -> per-order
+         contraction -> forecast head; stack 0 additionally emits
+         sigmoid(backcast(igfted) - shortcut(x)) as stack 1's input
+    └─ head: Linear(W,W) -> LeakyReLU(0.01, torch nn.LeakyReLU default at
+         base_model.py:99) -> Linear(W,horizon)  on result[0]+result[1]
+  returns (forecast [B, horizon, N], attention [N, N] symmetrized)
+
+Everything is jit-compiled; parameters are a nested-dict pytree. The GRU
+is a `lax.scan` with the input projection hoisted out of the recurrence
+(one big MXU matmul instead of N small ones).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from stemgnn_tpu import ops
+from stemgnn_tpu.config import StemGNNConfig
+from stemgnn_tpu.models import initializers as init
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (torch-distribution-faithful; see initializers.py)
+# ---------------------------------------------------------------------------
+
+
+def init_block_params(key, cfg: StemGNNConfig, stack_i: int) -> Params:
+    """One StockBlockLayer's params (base_model.py:16-44)."""
+    w, wm = cfg.window_size, cfg.wm
+    keys = jax.random.split(key, 12)
+    p: Params = {
+        # contraction weight, torch shape [1,4,1,Wm,Wm] xavier_normal
+        # (base_model.py:23-26); stored as [4,Wm,Wm] but initialized with
+        # torch's fan computation on the original 5-D shape.
+        "weight": init.xavier_normal(keys[0], (1, 4, 1, wm, wm)).reshape(4, wm, wm),
+        "forecast": init.linear_params(keys[1], wm, wm),
+        "forecast_result": init.linear_params(keys[2], wm, w),
+        "backcast_short_cut": init.linear_params(keys[3], w, w),
+        "glu": [],
+    }
+    if stack_i == 0:
+        p["backcast"] = init.linear_params(keys[4], wm, w)
+    # 6 GLUs: pairs (real, imag) x 3 layers; layer 0 maps 4W -> 4Wm,
+    # layers 1-2 map 4Wm -> 4Wm (base_model.py:33-44).
+    dims = [(cfg.glu_in, cfg.glu_out)] * 2 + [(cfg.glu_out, cfg.glu_out)] * 4
+    for i, (d_in, d_out) in enumerate(dims):
+        kl, kr = jax.random.split(keys[5 + i])
+        p["glu"].append(
+            {
+                "left": init.linear_params(kl, d_in, d_out),
+                "right": init.linear_params(kr, d_in, d_out),
+            }
+        )
+    return p
+
+
+def init_params(key, cfg: StemGNNConfig) -> Params:
+    """Full model params (base_model.py:79-104)."""
+    n, w = cfg.units, cfg.window_size
+    keys = jax.random.split(key, 8 + cfg.stack_cnt)
+    gru_keys = jax.random.split(keys[2], 4)
+    params: Params = {
+        "weight_key": init.xavier_uniform(keys[0], (n, 1), gain=1.414),
+        "weight_query": init.xavier_uniform(keys[1], (n, 1), gain=1.414),
+        # torch nn.GRU(input=W, hidden=N): weights [3N,W],[3N,N], biases [3N];
+        # gate order (r, z, n); all U(-1/sqrt(N), 1/sqrt(N)).
+        "gru": {
+            "w_ih": init.uniform_scaled(gru_keys[0], (3 * n, w), n),
+            "w_hh": init.uniform_scaled(gru_keys[1], (3 * n, n), n),
+            "b_ih": init.uniform_scaled(gru_keys[2], (3 * n,), n),
+            "b_hh": init.uniform_scaled(gru_keys[3], (3 * n,), n),
+        },
+        "blocks": [
+            init_block_params(keys[3 + i], cfg, i) for i in range(cfg.stack_cnt)
+        ],
+        # head fc: Linear(W,W) -> LeakyReLU(0.01) -> Linear(W,horizon)
+        "fc1": init.linear_params(keys[3 + cfg.stack_cnt], w, w),
+        "fc2": init.linear_params(keys[4 + cfg.stack_cnt], w, cfg.horizon),
+    }
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+
+def gru_over_nodes(gru: Params, x):
+    """torch nn.GRU applied with the NODE axis as the sequence (base_model.py:137).
+
+    x: [B, W, N]. The reference feeds x.permute(2,0,1) = [N, B, W] to a
+    GRU(input_size=W, hidden=N), so each "time step" is one node and the
+    hidden state is N-dimensional. Returns the full output sequence
+    permuted back to [B, N_seq, N_hid] (base_model.py:138).
+
+    TPU design: the input projection for all N steps is one [N*B, W] @
+    [W, 3N] matmul hoisted out of the scan; the recurrence itself is a
+    `lax.scan` of [B, N] @ [N, 3N] matmuls.
+    """
+    b, w, n = x.shape
+    xs = jnp.transpose(x, (2, 0, 1))  # [N, B, W]
+    # hoisted input projection: [N, B, 3N]
+    x_proj = jnp.einsum("nbw,gw->nbg", xs, gru["w_ih"]) + gru["b_ih"]
+    w_hh_t = gru["w_hh"].T  # [N, 3N]
+    b_hh = gru["b_hh"]
+
+    def step(h, xp):
+        hp = h @ w_hh_t  # [B, 3N]
+        r = jax.nn.sigmoid(xp[:, :n] + hp[:, :n] + b_hh[:n])
+        z = jax.nn.sigmoid(xp[:, n : 2 * n] + hp[:, n : 2 * n] + b_hh[n : 2 * n])
+        ncand = jnp.tanh(xp[:, 2 * n :] + r * (hp[:, 2 * n :] + b_hh[2 * n :]))
+        h_new = (1.0 - z) * ncand + z * h
+        return h_new, h_new
+
+    h0 = jnp.zeros((b, n), x.dtype)
+    _, hs = jax.lax.scan(step, h0, x_proj)  # hs: [N, B, N]
+    return jnp.transpose(hs, (1, 0, 2))  # [B, N_seq, N_hid]
+
+
+def latent_correlation_layer(
+    params: Params,
+    cfg: StemGNNConfig,
+    x,
+    *,
+    training: bool,
+    dropout_rng=None,
+    use_pallas: bool = False,
+):
+    """base_model.py:136-149. Returns (mul_L [4,N,N], attention [N,N])."""
+    enc = gru_over_nodes(params["gru"], x)  # [B, N_seq, N_hid]
+    # the reference's input.permute(0,2,1) — only legal because hidden==N
+    enc = jnp.swapaxes(enc, 1, 2)  # [B, N_hid, N_seq]
+    attention_fn = ops.select_attention(use_pallas)
+    att = attention_fn(
+        enc, params["weight_key"], params["weight_query"], cfg.leaky_rate
+    )  # [B, N, N]
+    if training and cfg.dropout_rate > 0.0:
+        keep = 1.0 - cfg.dropout_rate
+        mask = jax.random.bernoulli(dropout_rng, keep, att.shape)
+        att = jnp.where(mask, att / keep, 0.0)
+    return ops.laplacian_from_attention(att)
+
+
+def block_forward(
+    block: Params, cfg: StemGNNConfig, x, mul_L, stack_i: int, *, use_pallas: bool = False
+):
+    """One StockBlockLayer (base_model.py:61-75).
+
+    x: [B, N, W] (the channel dim of 1 the reference carries is dropped).
+    Returns (forecast [B,N,W], backcast [B,N,W] or None).
+    """
+    graph_conv = ops.select_graph_conv(use_pallas)
+    spe_seq = ops.select_spe_seq_cell(use_pallas)
+    gfted = graph_conv(mul_L, x)  # [B, 4, N, W]
+    gconv = spe_seq(gfted, block["glu"], cfg.multi_layer)  # [B, 4, N, Wm]
+    igfted = ops.order_contract(gconv, block["weight"])  # [B, N, Wm]
+    forecast_source = jax.nn.sigmoid(ops.dense(igfted, block["forecast"]))
+    forecast = ops.dense(forecast_source, block["forecast_result"])  # [B, N, W]
+    if stack_i == 0:
+        backcast_short = ops.dense(x, block["backcast_short_cut"])  # [B, N, W]
+        backcast = jax.nn.sigmoid(
+            ops.dense(igfted, block["backcast"]) - backcast_short
+        )
+        return forecast, backcast
+    return forecast, None
+
+
+@partial(jax.jit, static_argnames=("cfg", "training", "use_pallas", "precision"))
+def forward(
+    params: Params,
+    cfg: StemGNNConfig,
+    x,
+    *,
+    training: bool = False,
+    dropout_rng=None,
+    use_pallas: bool = False,
+    precision: str = "float32",
+):
+    """Model.forward (base_model.py:167-179).
+
+    x: [B, W, N]. Returns (forecast [B, horizon, N], attention [N, N]).
+
+    `precision` sets the matmul precision for every contraction in the
+    model ("float32" for torch-parity accuracy; "bfloat16"/"default" for
+    full-rate MXU throughput — this JAX build's global default resolves to
+    low precision even on CPU, so parity paths must pin float32).
+    """
+    with jax.default_matmul_precision(precision):
+        mul_L, attention = latent_correlation_layer(
+            params, cfg, x, training=training, dropout_rng=dropout_rng, use_pallas=use_pallas
+        )
+        feat = jnp.transpose(x, (0, 2, 1))  # [B, N, W]
+        forecasts = []
+        for i in range(cfg.stack_cnt):
+            f, feat_next = block_forward(
+                params["blocks"][i], cfg, feat, mul_L, i, use_pallas=use_pallas
+            )
+            forecasts.append(f)
+            if feat_next is not None:
+                feat = feat_next
+        out = forecasts[0] + forecasts[1]  # [B, N, W] (base_model.py:174)
+        h = jax.nn.leaky_relu(ops.dense(out, params["fc1"]), negative_slope=0.01)
+        out = ops.dense(h, params["fc2"])  # [B, N, horizon]
+        # both reference output branches (:176-179) reduce to this transpose
+        return jnp.transpose(out, (0, 2, 1)), attention
+
+
+class StemGNN:
+    """Thin OO wrapper bundling config + init/apply (convenience only)."""
+
+    def __init__(self, cfg: StemGNNConfig):
+        self.cfg = cfg
+
+    def init(self, key) -> Params:
+        return init_params(key, self.cfg)
+
+    def apply(self, params: Params, x, **kw):
+        return forward(params, self.cfg, x, **kw)

@@ -1,0 +1,372 @@
+"""Training/eval engine — the reference handler's API (models/handler.py),
+re-designed for TPU execution.
+
+API parity: `train(train_data, valid_data, cfg, result_file)`,
+`validate(...)`, `test(test_data, cfg, result_train_file,
+result_test_file)`, `inference(...)` mirror handler.py:41-207 — same
+outputs, same console lines, same CSV/JSON artifacts.
+
+TPU-first differences:
+- the whole normalized split lives on device as one [T, N] array; the
+  jitted train step gathers its batch windows from a [B] index vector, so
+  per-step host->device traffic is ~128 bytes;
+- the loss scalar is NOT synced per step (the reference's `float(loss)`
+  at handler.py:166 forces a device round-trip per batch); losses
+  accumulate on device and sync once per epoch;
+- the optimizer is a jit-compatible optax transform with the LR as a
+  dynamic hyperparameter (no recompile on exponential decay);
+- checkpoints carry optimizer state + RNG and support --resume.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stemgnn_tpu.config import StemGNNConfig, TrainConfig
+from stemgnn_tpu.data.pipeline import WindowDataset, compute_norm_stats, de_normalized
+from stemgnn_tpu.metrics import evaluate
+from stemgnn_tpu.models import stemgnn
+from stemgnn_tpu.train import checkpoint as ckpt
+from stemgnn_tpu.train.optim import decayed_lr, make_optimizer
+from stemgnn_tpu.utils.logging import JsonlLogger
+
+
+# ---------------------------------------------------------------------------
+# jitted steps
+# ---------------------------------------------------------------------------
+
+
+def gather_windows(data, hi, window_size: int, horizon: int):
+    """Build (x [B,W,N], y [B,h,N]) from window end indices, on device.
+
+    Mirrors ForecastDataset.__getitem__ (forecast_dataloader.py:56-63):
+    x = data[hi-W:hi], y = data[hi:hi+horizon].
+    """
+    x_idx = hi[:, None] + jnp.arange(-window_size, 0)[None, :]
+    y_idx = hi[:, None] + jnp.arange(horizon)[None, :]
+    return data[x_idx], data[y_idx]
+
+
+def make_train_step(mcfg: StemGNNConfig, opt, use_pallas: bool, precision: str = "float32"):
+    w, h = mcfg.window_size, mcfg.horizon
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, data, hi, rng):
+        x, y = gather_windows(data, hi, w, h)
+
+        def loss_fn(p):
+            forecast, _ = stemgnn.forward(
+                p, mcfg, x, training=True, dropout_rng=rng,
+                use_pallas=use_pallas, precision=precision,
+            )
+            return jnp.mean((forecast - y) ** 2)  # nn.MSELoss (handler.py:140)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_eval_step(mcfg: StemGNNConfig, use_pallas: bool, precision: str = "float32"):
+    @jax.jit
+    def eval_step(params, x):
+        forecast, _ = stemgnn.forward(
+            params, mcfg, x, training=False, use_pallas=use_pallas, precision=precision
+        )
+        return forecast
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# inference / validate / test  (handler.py:41-100,194-207)
+# ---------------------------------------------------------------------------
+
+
+def inference(
+    eval_step,
+    params,
+    dataset: WindowDataset,
+    batch_size: int,
+    node_cnt: int,
+    window_size: int,
+    horizon: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Autoregressive rolling decode (handler.py:41-64).
+
+    The model emits `len_model_output` steps per call (== horizon normally,
+    so one iteration); for generality the reference's splice — shift the
+    window left by len_out and write the predictions into the tail — is
+    kept verbatim, on host (it is an eval-only path).
+    """
+    forecast_set, target_set = [], []
+    for hi_batch in dataset.epoch_batches(batch_size, shuffle=False):
+        b = len(hi_batch)
+        xs = np.stack([dataset.data[hi - window_size : hi] for hi in hi_batch])
+        ys = np.stack([dataset.data[hi : hi + horizon] for hi in hi_batch])
+        inputs = xs.copy()
+        step = 0
+        forecast_steps = np.zeros([b, horizon, node_cnt], dtype=np.float64)
+        while step < horizon:
+            out = np.asarray(eval_step(params, jnp.asarray(inputs)))
+            len_out = out.shape[1]
+            if len_out == 0:
+                raise Exception("Get blank inference result")
+            inputs[:, : window_size - len_out, :] = inputs[:, len_out:window_size, :]
+            inputs[:, window_size - len_out :, :] = out
+            take = min(horizon - step, len_out)
+            forecast_steps[:, step : take + step, :] = out[:, :take, :]
+            step += take
+        forecast_set.append(forecast_steps)
+        target_set.append(ys)
+    return np.concatenate(forecast_set, axis=0), np.concatenate(target_set, axis=0)
+
+
+def validate(
+    eval_step,
+    params,
+    dataset: WindowDataset,
+    normalize_method: Optional[str],
+    statistic: Optional[Dict],
+    node_cnt: int,
+    window_size: int,
+    horizon: int,
+    batch_size: int,
+    result_file: Optional[str] = None,
+) -> Dict:
+    """handler.py:67-100: metrics on de-normalized forecasts + CSV artifacts."""
+    forecast_norm, target_norm = inference(
+        eval_step, params, dataset, batch_size, node_cnt, window_size, horizon
+    )
+    if normalize_method and statistic:
+        forecast = de_normalized(forecast_norm, normalize_method, statistic)
+        target = de_normalized(target_norm, normalize_method, statistic)
+    else:
+        forecast, target = forecast_norm, target_norm
+    score = evaluate(target, forecast)
+    score_by_node = evaluate(target, forecast, by_node=True)
+    score_norm = evaluate(target_norm, forecast_norm)
+    print(f"NORM: MAPE {score_norm[0]:7.9%}; MAE {score_norm[1]:7.9f}; RMSE {score_norm[2]:7.9f}.")
+    print(f"RAW : MAPE {score[0]:7.9%}; MAE {score[1]:7.9f}; RMSE {score[2]:7.9f}.")
+    if result_file:
+        os.makedirs(result_file, exist_ok=True)
+        step_to_print = 0
+        forecasting_2d = forecast[:, step_to_print, :]
+        forecasting_2d_target = target[:, step_to_print, :]
+        np.savetxt(f"{result_file}/target.csv", forecasting_2d_target, delimiter=",")
+        np.savetxt(f"{result_file}/predict.csv", forecasting_2d, delimiter=",")
+        np.savetxt(
+            f"{result_file}/predict_abs_error.csv",
+            np.abs(forecasting_2d - forecasting_2d_target),
+            delimiter=",",
+        )
+        np.savetxt(
+            f"{result_file}/predict_ape.csv",
+            np.abs((forecasting_2d - forecasting_2d_target) / forecasting_2d_target),
+            delimiter=",",
+        )
+    return dict(
+        mae=score[1],
+        mae_node=score_by_node[1],
+        mape=score[0],
+        mape_node=score_by_node[0],
+        rmse=score[2],
+        rmse_node=score_by_node[2],
+    )
+
+
+# ---------------------------------------------------------------------------
+# train  (handler.py:103-191)
+# ---------------------------------------------------------------------------
+
+
+def train(
+    train_data: np.ndarray,
+    valid_data: np.ndarray,
+    cfg: TrainConfig,
+    result_file: str,
+) -> Tuple[Dict, Optional[Dict]]:
+    node_cnt = train_data.shape[1]
+    mcfg = cfg.model_config(node_cnt)
+    if len(train_data) == 0:
+        raise Exception("Cannot organize enough training data")
+    if len(valid_data) == 0:
+        raise Exception("Cannot organize enough validation data")
+
+    normalize_statistic = compute_norm_stats(train_data, cfg.norm_method)
+    if normalize_statistic is not None:
+        ckpt.save_norm_stat(result_file, normalize_statistic)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    params = stemgnn.init_params(init_key, mcfg)
+
+    opt = make_optimizer(cfg.optimizer, cfg.lr)
+    opt_state = opt.init(params)
+
+    train_set = WindowDataset(
+        train_data, cfg.window_size, cfg.horizon, cfg.norm_method, normalize_statistic
+    )
+    valid_set = WindowDataset(
+        valid_data, cfg.window_size, cfg.horizon, cfg.norm_method, normalize_statistic
+    )
+    if len(train_set) == 0:
+        raise Exception("Cannot organize enough training data")
+
+    total_params = stemgnn.param_count(params)
+    print(f"Total Trainable Params: {total_params}")
+
+    precision = "bfloat16" if cfg.compute_dtype == "bfloat16" else "float32"
+    train_step = make_train_step(mcfg, opt, cfg.use_pallas, precision)
+    eval_step = make_eval_step(mcfg, cfg.use_pallas, precision)
+    data_dev = jnp.asarray(train_set.data)
+
+    logger = JsonlLogger(
+        os.path.join(result_file, "metrics.jsonl") if cfg.log_jsonl else None
+    )
+    shuffle_rng = np.random.default_rng(cfg.seed)
+
+    start_epoch = 0
+    best_validate_mae = np.inf
+    validate_score_non_decrease_count = 0
+    if cfg.resume:
+        last = ckpt.latest_epoch(result_file)
+        if last is not None:
+            restored = ckpt.load(result_file, params, opt_state, epoch=last)
+            if restored is not None:
+                params, opt_state, meta = restored
+                start_epoch = meta.get("epoch", last) + 1
+                best_validate_mae = meta.get("best_validate_mae", np.inf)
+                validate_score_non_decrease_count = meta.get("non_decrease_count", 0)
+                key = jax.random.PRNGKey(meta.get("rng_seed", cfg.seed))
+                print(f"Resumed from epoch {last}")
+
+    performance_metrics: Dict = {}
+    n_windows = len(train_set)
+    for epoch in range(start_epoch, cfg.epoch):
+        lr = decayed_lr(cfg.lr, epoch, cfg.exponential_decay_step, cfg.decay_rate)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        epoch_start_time = time.time()
+        losses = []
+        cnt = 0
+        for hi_batch in train_set.epoch_batches(cfg.batch_size, shuffle=True, rng=shuffle_rng):
+            key, step_key = jax.random.split(key)
+            params, opt_state, loss = train_step(
+                params, opt_state, data_dev, jnp.asarray(hi_batch), step_key
+            )
+            losses.append(loss)
+            cnt += 1
+        loss_total = float(jnp.sum(jnp.stack(losses)))  # one sync per epoch
+        epoch_time = time.time() - epoch_start_time
+        print(
+            "| end of epoch {:3d} | time: {:5.2f}s | train_total_loss {:5.4f}".format(
+                epoch, epoch_time, loss_total / cnt
+            )
+        )
+        meta = {
+            "epoch": epoch,
+            "best_validate_mae": float(best_validate_mae)
+            if np.isfinite(best_validate_mae)
+            else None,
+            "non_decrease_count": validate_score_non_decrease_count,
+            "rng_seed": cfg.seed,
+        }
+        if meta["best_validate_mae"] is None:
+            meta["best_validate_mae"] = float("inf")
+        ckpt.save(result_file, params, opt_state, epoch=epoch, meta=meta)
+        logger.log(
+            {
+                "event": "epoch",
+                "epoch": epoch,
+                "loss": loss_total / cnt,
+                "lr": lr,
+                "epoch_time_s": epoch_time,
+                "windows_per_s": n_windows / epoch_time,
+            }
+        )
+        if (epoch + 1) % cfg.validate_freq == 0:
+            is_best_for_now = False
+            print("------ validate on data: VALIDATE ------")
+            performance_metrics = validate(
+                eval_step,
+                params,
+                valid_set,
+                cfg.norm_method,
+                normalize_statistic,
+                node_cnt,
+                cfg.window_size,
+                cfg.horizon,
+                cfg.batch_size,
+                result_file=result_file,
+            )
+            if best_validate_mae > performance_metrics["mae"]:
+                best_validate_mae = performance_metrics["mae"]
+                is_best_for_now = True
+                validate_score_non_decrease_count = 0
+            else:
+                validate_score_non_decrease_count += 1
+            if is_best_for_now:
+                ckpt.save(result_file, params, opt_state, meta=meta)
+            logger.log({"event": "validate", "epoch": epoch, **{
+                k: (v.tolist() if isinstance(v, np.ndarray) else float(v))
+                for k, v in performance_metrics.items()
+            }})
+        if cfg.early_stop and validate_score_non_decrease_count >= cfg.early_stop_step:
+            break
+    return performance_metrics, normalize_statistic
+
+
+def test(
+    test_data: np.ndarray,
+    cfg: TrainConfig,
+    result_train_file: str,
+    result_test_file: str,
+) -> Dict:
+    """handler.py:194-207: restore best checkpoint, eval with TRAIN-split stats."""
+    normalize_statistic = ckpt.load_norm_stat(result_train_file)
+    node_cnt = test_data.shape[1]
+    mcfg = cfg.model_config(node_cnt)
+    template = stemgnn.init_params(jax.random.PRNGKey(0), mcfg)
+    restored = ckpt.load(result_train_file, template)
+    if restored is None:
+        raise FileNotFoundError(f"no best checkpoint in {result_train_file}")
+    params, _, _ = restored
+    test_set = WindowDataset(
+        test_data, cfg.window_size, cfg.horizon, cfg.norm_method, normalize_statistic
+    )
+    precision = "bfloat16" if cfg.compute_dtype == "bfloat16" else "float32"
+    eval_step = make_eval_step(mcfg, cfg.use_pallas, precision)
+    performance_metrics = validate(
+        eval_step,
+        params,
+        test_set,
+        cfg.norm_method,
+        normalize_statistic,
+        node_cnt,
+        cfg.window_size,
+        cfg.horizon,
+        cfg.batch_size,
+        result_file=result_test_file,
+    )
+    mae, mape, rmse = (
+        performance_metrics["mae"],
+        performance_metrics["mape"],
+        performance_metrics["rmse"],
+    )
+    print(
+        "Performance on test set: MAPE: {:5.2f} | MAE: {:5.2f} | RMSE: {:5.4f}".format(
+            mape, mae, rmse
+        )
+    )
+    return performance_metrics

@@ -1,0 +1,64 @@
+"""Optimizers matching the reference's torch semantics exactly.
+
+- RMSProp (handler.py:127): torch.optim.RMSprop(lr, eps=1e-8) with torch
+  defaults alpha=0.99, no momentum, not centered. torch's update is
+      nu <- alpha*nu + (1-alpha)*g^2 ;  p <- p - lr * g / (sqrt(nu) + eps)
+  with eps OUTSIDE the sqrt and nu initialized to zero. optax's stock
+  rmsprop historically puts eps inside the sqrt, so we implement the torch
+  form explicitly.
+- Adam (handler.py:129): torch.optim.Adam(lr, betas=(0.9, 0.999)); optax.adam
+  with eps=1e-8, eps_root=0 matches torch's bias-corrected update.
+- LR schedule (handler.py:130,170-171): ExponentialLR(gamma=decay_rate)
+  stepped once every `exponential_decay_step` epochs; implemented as a
+  dynamic `learning_rate` hyperparameter via optax.inject_hyperparams so
+  the jitted train step never recompiles on decay.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _torch_rmsprop(learning_rate: float, alpha: float = 0.99, eps: float = 1e-8):
+    def init_fn(params):
+        return {"nu": jax.tree.map(jnp.zeros_like, params)}
+
+    def update_fn(updates, state, params=None):
+        del params
+        nu = jax.tree.map(
+            lambda n, g: alpha * n + (1.0 - alpha) * g * g, state["nu"], updates
+        )
+        scaled = jax.tree.map(
+            lambda g, n: -learning_rate * g / (jnp.sqrt(n) + eps), updates, nu
+        )
+        return scaled, {"nu": nu}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
+    """RMSProp if name == 'RMSProp' else Adam (handler.py:126-129).
+
+    Wrapped in inject_hyperparams: the live LR is
+    `opt_state.hyperparams['learning_rate']` and can be reassigned between
+    epochs without recompilation.
+    """
+    if name == "RMSProp":
+        return optax.inject_hyperparams(_torch_rmsprop)(learning_rate=lr)
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.adam(
+            learning_rate, b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0
+        )
+    )(learning_rate=lr)
+
+
+def decayed_lr(base_lr: float, epoch: int, decay_step: int, decay_rate: float) -> float:
+    """LR in effect during `epoch` (0-based).
+
+    The reference steps ExponentialLR after epochs where (epoch+1) %
+    decay_step == 0 (handler.py:170-171), so epoch e trains with
+    gamma^floor(e / decay_step).
+    """
+    return base_lr * (decay_rate ** (epoch // decay_step))
