@@ -1,0 +1,117 @@
+"""End-to-end engine tests on a tiny synthetic dataset (SURVEY.md section 4:
+loss-curve determinism + checkpoint/norm-stat file contract)."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+from stemgnn_tpu.config import TrainConfig
+from stemgnn_tpu.data import split_by_ratio, synthesize
+from stemgnn_tpu.train import engine
+from stemgnn_tpu.train import checkpoint as ckpt
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return TrainConfig(
+        dataset="tiny",
+        window_size=8,
+        horizon=3,
+        epoch=2,
+        batch_size=16,
+        multi_layer=2,
+        validate_freq=1,
+        lr=1e-3,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    return synthesize("tiny", T=220, N=6, seed=0)
+
+
+def _split(data):
+    return split_by_ratio(data, 7, 2, 1)
+
+
+def test_train_end_to_end(tmp_path_factory, tiny_cfg, tiny_data):
+    out = str(tmp_path_factory.mktemp("train_out"))
+    train_data, valid_data, test_data = _split(tiny_data)
+    metrics, stats = engine.train(train_data, valid_data, tiny_cfg, out)
+    # contract: norm_stat.json written with train-split stats (handler.py:122-124)
+    with open(os.path.join(out, "norm_stat.json")) as f:
+        loaded = json.load(f)
+    np.testing.assert_allclose(loaded["mean"], np.mean(train_data, axis=0))
+    # checkpoints: one per epoch + best (handler.py:169,187)
+    assert os.path.exists(os.path.join(out, "0_stemgnn.ckpt"))
+    assert os.path.exists(os.path.join(out, "1_stemgnn.ckpt"))
+    assert os.path.exists(os.path.join(out, "_stemgnn.ckpt"))
+    assert set(metrics) == {"mae", "mae_node", "mape", "mape_node", "rmse", "rmse_node"}
+    assert np.isfinite(metrics["mae"])
+    assert metrics["mae_node"].shape == (6,)
+    # metrics JSONL written
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        events = [json.loads(line) for line in f]
+    assert any(e["event"] == "epoch" for e in events)
+    assert any(e["event"] == "validate" for e in events)
+
+    # test() restores the best checkpoint and writes CSV artifacts
+    test_out = str(tmp_path_factory.mktemp("test_out"))
+    perf = engine.test(test_data, tiny_cfg, out, test_out)
+    for name in ("target.csv", "predict.csv", "predict_abs_error.csv", "predict_ape.csv"):
+        assert os.path.exists(os.path.join(test_out, name))
+    pred = np.loadtxt(os.path.join(test_out, "predict.csv"), delimiter=",")
+    n_windows = len(test_data) - tiny_cfg.window_size - tiny_cfg.horizon + 1
+    assert pred.shape == (n_windows, 6)
+    assert np.isfinite(perf["mae"])
+
+
+def test_train_determinism(tmp_path_factory, tiny_cfg, tiny_data):
+    """Same seed -> identical loss curve and validation metrics."""
+    train_data, valid_data, _ = _split(tiny_data)
+    results = []
+    for i in range(2):
+        out = str(tmp_path_factory.mktemp(f"det{i}"))
+        m, _ = engine.train(train_data, valid_data, tiny_cfg, out)
+        with open(os.path.join(out, "metrics.jsonl")) as f:
+            losses = [json.loads(l)["loss"] for l in f if json.loads(l)["event"] == "epoch"]
+        results.append((losses, m["mae"]))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-6)
+
+
+def test_resume(tmp_path_factory, tiny_cfg, tiny_data):
+    """--resume restores params + opt state + epoch (framework addition)."""
+    train_data, valid_data, _ = _split(tiny_data)
+    out = str(tmp_path_factory.mktemp("resume"))
+    cfg1 = dataclasses.replace(tiny_cfg, epoch=1)
+    engine.train(train_data, valid_data, cfg1, out)
+    assert ckpt.latest_epoch(out) == 0
+    cfg2 = dataclasses.replace(tiny_cfg, epoch=3, resume=True)
+    engine.train(train_data, valid_data, cfg2, out)
+    assert ckpt.latest_epoch(out) == 2
+    assert os.path.exists(os.path.join(out, "2_stemgnn.ckpt"))
+
+
+def test_loss_decreases(tmp_path_factory, tiny_data):
+    """Sanity: 6 epochs on learnable synthetic data reduces train loss."""
+    cfg = TrainConfig(
+        dataset="tiny", window_size=8, horizon=3, epoch=6, batch_size=16,
+        multi_layer=2, validate_freq=6, lr=1e-3,
+    )
+    train_data, valid_data, _ = _split(tiny_data)
+    out = str(tmp_path_factory.mktemp("decrease"))
+    engine.train(train_data, valid_data, cfg, out)
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        losses = [json.loads(l)["loss"] for l in f if json.loads(l)["event"] == "epoch"]
+    assert losses[-1] < losses[0]
+
+
+def test_empty_data_raises(tiny_cfg):
+    with pytest.raises(Exception, match="Cannot organize enough training data"):
+        engine.train(np.zeros((0, 4)), np.ones((50, 4)), tiny_cfg, None)
+    with pytest.raises(Exception, match="Cannot organize enough validation data"):
+        engine.train(np.ones((50, 4)), np.zeros((0, 4)), tiny_cfg, None)
