@@ -1,0 +1,130 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: steady-state training throughput (windows/second) on the
+flagship ECG5000 config (140 nodes, window 12, horizon 3, batch 32 —
+the reference's default `python main.py` run, README.md:39) on the
+attached TPU, full train step (forward + backward + RMSProp update).
+
+`vs_baseline` is relative to `benchmarks/baseline.json` — the round-1
+pure-jnp float32 single-chip number, frozen so later rounds show real
+kernel/sharding gains. Extra sub-metrics (edges/s through the Chebyshev
+graph conv, step latency) go to stderr-style extras inside the JSON.
+
+Usage: python bench.py [--steps N] [--batch B] [--pallas] [--bf16]
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stemgnn_tpu.config import StemGNNConfig
+from stemgnn_tpu.models import stemgnn
+from stemgnn_tpu.train.engine import make_train_step
+from stemgnn_tpu.train.optim import make_optimizer
+
+BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline.json")
+
+
+def measure(batch=32, steps=100, warmup=10, use_pallas=False, precision="float32",
+            n_nodes=140, window=12, horizon=3, multi=5, seed=0):
+    cfg = StemGNNConfig(units=n_nodes, window_size=window, horizon=horizon,
+                        multi_layer=multi)
+    params = stemgnn.init_params(jax.random.PRNGKey(seed), cfg)
+    opt = make_optimizer("RMSProp", 1e-4)
+    opt_state = opt.init(params)
+    step_fn = make_train_step(cfg, opt, use_pallas, precision)
+
+    rng = np.random.default_rng(seed)
+    t_len = 4096
+    data = jnp.asarray(rng.standard_normal((t_len, n_nodes)), dtype=jnp.float32)
+    his = [
+        jnp.asarray(rng.integers(window, t_len - horizon, size=batch), dtype=jnp.int32)
+        for _ in range(warmup + steps)
+    ]
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, warmup + steps)
+
+    for i in range(warmup):
+        params, opt_state, loss = step_fn(params, opt_state, data, his[i], keys[i])
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(warmup, warmup + steps):
+        params, opt_state, loss = step_fn(params, opt_state, data, his[i], keys[i])
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+
+    step_time = elapsed / steps
+    windows_per_s = batch / step_time
+    # "edges" = entries of the dense learned N x N graph touched per
+    # Chebyshev conv: K orders x 2 stacks x batch, fwd only (SURVEY 3.3)
+    edges_per_step = batch * 4 * n_nodes * n_nodes * 2
+    return {
+        "windows_per_s": windows_per_s,
+        "step_time_ms": step_time * 1e3,
+        "edges_per_s": edges_per_step / step_time,
+        "loss": float(loss),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--set-baseline", action="store_true",
+                    help="write the measured value as the frozen baseline")
+    args = ap.parse_args()
+
+    res = measure(
+        batch=args.batch,
+        steps=args.steps,
+        use_pallas=args.pallas,
+        precision="bfloat16" if args.bf16 else "float32",
+    )
+
+    baseline = None
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            baseline = json.load(f).get("windows_per_s")
+    if args.set_baseline or baseline is None:
+        os.makedirs(os.path.dirname(BASELINE_PATH), exist_ok=True)
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(
+                {
+                    "windows_per_s": res["windows_per_s"],
+                    "note": "round-1 pure-jnp float32 single-chip ECG5000 train step",
+                    "device": str(jax.devices()[0]),
+                },
+                f,
+                indent=2,
+            )
+        baseline = res["windows_per_s"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_windows_per_sec",
+                "value": round(res["windows_per_s"], 2),
+                "unit": "windows/s",
+                "vs_baseline": round(res["windows_per_s"] / baseline, 4),
+                "extras": {
+                    "step_time_ms": round(res["step_time_ms"], 3),
+                    "edges_per_s": round(res["edges_per_s"]),
+                    "device": str(jax.devices()[0]),
+                    "pallas": args.pallas,
+                    "precision": "bfloat16" if args.bf16 else "float32",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

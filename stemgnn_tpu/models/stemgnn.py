@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from stemgnn_tpu import ops
 from stemgnn_tpu.config import StemGNNConfig
 from stemgnn_tpu.models import initializers as init
+from stemgnn_tpu.parallel.mesh import DATA_AXIS, GRAPH_AXIS, constrain
+from jax.sharding import PartitionSpec as P
 
 Params = Dict[str, Any]
 
@@ -146,11 +148,13 @@ def latent_correlation_layer(
     training: bool,
     dropout_rng=None,
     use_pallas: bool = False,
+    mesh=None,
 ):
     """base_model.py:136-149. Returns (mul_L [4,N,N], attention [N,N])."""
     enc = gru_over_nodes(params["gru"], x)  # [B, N_seq, N_hid]
     # the reference's input.permute(0,2,1) — only legal because hidden==N
     enc = jnp.swapaxes(enc, 1, 2)  # [B, N_hid, N_seq]
+    enc = constrain(enc, mesh, P(DATA_AXIS, GRAPH_AXIS, None))
     attention_fn = ops.select_attention(use_pallas)
     att = attention_fn(
         enc, params["weight_key"], params["weight_query"], cfg.leaky_rate
@@ -159,22 +163,36 @@ def latent_correlation_layer(
         keep = 1.0 - cfg.dropout_rate
         mask = jax.random.bernoulli(dropout_rng, keep, att.shape)
         att = jnp.where(mask, att / keep, 0.0)
-    return ops.laplacian_from_attention(att)
+    # per-sample attention rows sharded over 'graph'; the batch-mean +
+    # Laplacian products then stay row-block partitioned
+    att = constrain(att, mesh, P(DATA_AXIS, GRAPH_AXIS, None))
+    mul_L, att_sym = ops.laplacian_from_attention(att)
+    mul_L = constrain(mul_L, mesh, P(None, GRAPH_AXIS, None))
+    return mul_L, att_sym
 
 
 def block_forward(
-    block: Params, cfg: StemGNNConfig, x, mul_L, stack_i: int, *, use_pallas: bool = False
+    block: Params, cfg: StemGNNConfig, x, mul_L, stack_i: int, *,
+    use_pallas: bool = False, mesh=None,
 ):
     """One StockBlockLayer (base_model.py:61-75).
 
     x: [B, N, W] (the channel dim of 1 the reference carries is dropped).
     Returns (forecast [B,N,W], backcast [B,N,W] or None).
+
+    Sharding: mul_L is row-block sharded over 'graph'; the graph conv
+    all-gathers x's node axis (N*W per sample — small) and emits
+    node-sharded outputs, so the quadratic N^2 work and the wide GLU/
+    contraction matmuls are all node-partitioned (SURVEY.md section 7.5).
     """
     graph_conv = ops.select_graph_conv(use_pallas)
     spe_seq = ops.select_spe_seq_cell(use_pallas)
     gfted = graph_conv(mul_L, x)  # [B, 4, N, W]
+    gfted = constrain(gfted, mesh, P(DATA_AXIS, None, GRAPH_AXIS, None))
     gconv = spe_seq(gfted, block["glu"], cfg.multi_layer)  # [B, 4, N, Wm]
+    gconv = constrain(gconv, mesh, P(DATA_AXIS, None, GRAPH_AXIS, None))
     igfted = ops.order_contract(gconv, block["weight"])  # [B, N, Wm]
+    igfted = constrain(igfted, mesh, P(DATA_AXIS, GRAPH_AXIS, None))
     forecast_source = jax.nn.sigmoid(ops.dense(igfted, block["forecast"]))
     forecast = ops.dense(forecast_source, block["forecast_result"])  # [B, N, W]
     if stack_i == 0:
@@ -186,7 +204,7 @@ def block_forward(
     return forecast, None
 
 
-@partial(jax.jit, static_argnames=("cfg", "training", "use_pallas", "precision"))
+@partial(jax.jit, static_argnames=("cfg", "training", "use_pallas", "precision", "mesh"))
 def forward(
     params: Params,
     cfg: StemGNNConfig,
@@ -196,6 +214,7 @@ def forward(
     dropout_rng=None,
     use_pallas: bool = False,
     precision: str = "float32",
+    mesh=None,
 ):
     """Model.forward (base_model.py:167-179).
 
@@ -207,14 +226,17 @@ def forward(
     low precision even on CPU, so parity paths must pin float32).
     """
     with jax.default_matmul_precision(precision):
+        x = constrain(x, mesh, P(DATA_AXIS, None, None))
         mul_L, attention = latent_correlation_layer(
-            params, cfg, x, training=training, dropout_rng=dropout_rng, use_pallas=use_pallas
+            params, cfg, x, training=training, dropout_rng=dropout_rng,
+            use_pallas=use_pallas, mesh=mesh,
         )
         feat = jnp.transpose(x, (0, 2, 1))  # [B, N, W]
         forecasts = []
         for i in range(cfg.stack_cnt):
             f, feat_next = block_forward(
-                params["blocks"][i], cfg, feat, mul_L, i, use_pallas=use_pallas
+                params["blocks"][i], cfg, feat, mul_L, i,
+                use_pallas=use_pallas, mesh=mesh,
             )
             forecasts.append(f)
             if feat_next is not None:
