@@ -1,0 +1,91 @@
+"""Pallas kernel for the latent-correlation attention (SDDMM).
+
+Reference semantics: base_model.py:151-162 — rank-1 additive scores
+score[b,i,j] = key[b,i] + query[b,j], LeakyReLU(alpha), row softmax.
+
+TPU-first design: the [B,N,N] score matrix is never materialized in HBM
+pre-softmax. The kernel fuses score construction + LeakyReLU + a
+numerically-stable row softmax per (batch, row-tile) grid cell, keeping
+the [TR, N] tile in VMEM. The rank-1 projections key/query (= enc @ w,
+an [N,1] matvec) are computed outside — they are O(B*N) and feed two
+separate broadcast axes.
+
+Backward: custom_vjp via the jnp twin's VJP (see pallas_spectral.py for
+the rationale).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stemgnn_tpu.ops import jnp_impl
+
+ROW_TILE = 128
+
+
+def _kernel(alpha_ref, key_ref, query_ref, out_ref):
+    alpha = alpha_ref[0]
+    # key block [1, TR, 1], query block [1, 1, N] -> scores [TR, N]
+    scores = key_ref[:][0] + query_ref[:][0]  # [TR,1] + [1,N]
+    scores = jnp.where(scores >= 0, scores, alpha * scores)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    out_ref[:] = (e / jnp.sum(e, axis=-1, keepdims=True))[None]  # [1, TR, N]
+
+
+def _forward(enc, weight_key, weight_query, alpha: float):
+    b, n, _ = enc.shape
+    key = (enc @ weight_key)[..., 0]  # [B, N]
+    query = (enc @ weight_query)[..., 0]  # [B, N]
+    pad = -n % ROW_TILE
+    key_p = jnp.pad(key, ((0, 0), (0, pad)))[..., None]  # [B, rows, 1]
+    query_p = query[:, None, :]  # [B, 1, N]
+    rows = n + pad
+    alpha_arr = jnp.full((1,), alpha, dtype=jnp.float32)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(b, rows // ROW_TILE),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ROW_TILE, 1), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda bi, ri: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROW_TILE, n), lambda bi, ri: (bi, ri, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, rows, n), jnp.float32),
+    )(alpha_arr, key_p, query_p)
+    return out[:, :n, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def attention_adjacency_pallas(enc, weight_key, weight_query, alpha: float):
+    """Pallas twin of jnp_impl.attention_adjacency: [B,N,N] row softmax."""
+    return _forward(enc, weight_key, weight_query, alpha)
+
+
+def _fwd(enc, weight_key, weight_query, alpha):
+    return _forward(enc, weight_key, weight_query, alpha), (
+        enc,
+        weight_key,
+        weight_query,
+    )
+
+
+def _bwd(alpha, res, g):
+    enc, wk, wq = res
+    _, vjp = jax.vjp(
+        lambda e, k, q: jnp_impl.attention_adjacency(e, k, q, alpha), enc, wk, wq
+    )
+    return vjp(g)
+
+
+attention_adjacency_pallas.defvjp(_fwd, _bwd)

@@ -1,0 +1,162 @@
+"""Fused Pallas kernel for the spectral-sequential cell.
+
+Reference semantics: base_model.py:46-59 — full FFT along the window,
+3 GLU layers on the flattened real/imag spectra, inverse FFT of the
+widened spectrum, keep the real part.
+
+TPU-first design: the window W is tiny (12-28), so the FFT is NOT a
+butterfly — it is a matmul with a precomputed W x W DFT matrix, which
+puts the whole cell (DFT -> 6 GLU matmuls -> iDFT) on the MXU as one
+VMEM-resident chain per row tile. The K=4 Chebyshev channels are handled
+with block-diagonal DFT matrices over the flattened K*W axis, so the
+kernel is a pure row-parallel map over B*N rows:
+
+    rows [TR, 4W] -> R = rows @ Cf, I = rows @ Sf          (forward DFT)
+    3x: R = (R@Wl+bl) * sigmoid(R@Wr+br)  (even GLUs; odd GLUs for I)
+    out [TR, 4Wm] = R @ Ci + I @ Si                         (inverse DFT)
+
+Eight HBM round-trips in the jnp twin collapse into one read + one write.
+Backward pass: custom_vjp whose bwd recomputes through the jnp twin's
+VJP (bitwise-matching semantics, XLA-fused); see ops/__init__ dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stemgnn_tpu.ops import jnp_impl
+
+ROW_TILE = 256
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_matrices(w: int, k: int, wm: int):
+    """Block-diagonal forward/inverse DFT matrices (numpy, cached).
+
+    Forward (length w, k blocks):  R = x @ Cf,  I = x @ Sf
+        Cf[n, j] = cos(2 pi n j / w),  Sf[n, j] = -sin(2 pi n j / w)
+    Inverse (length wm, real part): y = R @ Ci + I @ Si
+        Ci[j, n] = cos(2 pi j n / wm) / wm,  Si[j, n] = -sin(...) / wm
+    """
+    n_idx = np.arange(w)
+    ang_f = 2.0 * np.pi * np.outer(n_idx, n_idx) / w
+    cf = np.cos(ang_f)
+    sf = -np.sin(ang_f)
+    m_idx = np.arange(wm)
+    ang_i = 2.0 * np.pi * np.outer(m_idx, m_idx) / wm
+    ci = np.cos(ang_i) / wm
+    si = -np.sin(ang_i) / wm
+
+    def blockdiag(m, reps):
+        d = m.shape[0]
+        out = np.zeros((d * reps, d * reps), dtype=np.float32)
+        for r in range(reps):
+            out[r * d : (r + 1) * d, r * d : (r + 1) * d] = m
+        return out
+
+    # cache numpy (NOT jnp: device arrays created under a trace would leak
+    # tracers through the cache)
+    return (
+        blockdiag(cf, k),
+        blockdiag(sf, k),
+        blockdiag(ci, k),
+        blockdiag(si, k),
+    )
+
+
+def _kernel(x_ref, cf_ref, sf_ref, ci_ref, si_ref, *glu_refs):
+    out_ref = glu_refs[-1]
+    glu_refs = glu_refs[:-1]  # 24 refs: (wl, bl, wr, br) x 6 GLUs
+    x = x_ref[:]
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    real = dot(x, cf_ref[:])
+    imag = dot(x, sf_ref[:])
+    for layer in range(3):
+        # even GLU -> real, odd GLU -> imag (base_model.py:52-54)
+        wl, bl, wr, br = (glu_refs[layer * 8 + j][:] for j in range(4))
+        real = (dot(real, wl) + bl) * jax.nn.sigmoid(dot(real, wr) + br)
+        wl, bl, wr, br = (glu_refs[layer * 8 + 4 + j][:] for j in range(4))
+        imag = (dot(imag, wl) + bl) * jax.nn.sigmoid(dot(imag, wr) + br)
+    out_ref[:] = dot(real, ci_ref[:]) + dot(imag, si_ref[:])
+
+
+def _flat_glu_args(glu_params):
+    args = []
+    for p in glu_params:
+        args.extend(
+            [
+                p["left"]["w"],
+                p["left"]["b"][None, :],
+                p["right"]["w"],
+                p["right"]["b"][None, :],
+            ]
+        )
+    return args
+
+
+def _forward(x, glu_params, multi: int):
+    b, k, n, w = x.shape
+    wm = w * multi
+    rows = b * n
+    xr = jnp.transpose(x, (0, 2, 1, 3)).reshape(rows, k * w)
+    pad_rows = -rows % ROW_TILE
+    if pad_rows:
+        xr = jnp.pad(xr, ((0, pad_rows), (0, 0)))
+    total = rows + pad_rows
+    cf, sf, ci, si = (jnp.asarray(m) for m in _dft_matrices(w, k, wm))
+    glu_args = _flat_glu_args(glu_params)
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((ROW_TILE, k * w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        full(cf), full(sf), full(ci), full(si),
+        *[full(a) for a in glu_args],
+    ]
+    out = pl.pallas_call(
+        _kernel,
+        grid=(total // ROW_TILE,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (ROW_TILE, k * wm), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((total, k * wm), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total * (
+                (k * w) ** 2 * 2  # fwd DFT (R and I)
+                + 2 * (k * w) * (k * wm) * 2  # GLU layer 0
+                + 4 * (k * wm) ** 2 * 2  # GLU layers 1-2
+                + 2 * (k * wm) ** 2  # inverse DFT
+            ),
+            bytes_accessed=4 * total * k * (w + wm),
+            transcendentals=total * k * wm * 6,
+        ),
+    )(xr, cf, sf, ci, si, *glu_args)
+    out = out[:rows].reshape(b, n, k, wm)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def spe_seq_cell_pallas(x, glu_params, multi: int):
+    """Pallas twin of jnp_impl.spe_seq_cell: [B,K,N,W] -> [B,K,N,W*multi]."""
+    return _forward(x, glu_params, multi)
+
+
+def _fwd(x, glu_params, multi):
+    return _forward(x, glu_params, multi), (x, glu_params)
+
+
+def _bwd(multi, res, g):
+    x, glu_params = res
+    _, vjp = jax.vjp(lambda xx, pp: jnp_impl.spe_seq_cell(xx, pp, multi), x, glu_params)
+    return vjp(g)
+
+
+spe_seq_cell_pallas.defvjp(_fwd, _bwd)

@@ -1,0 +1,136 @@
+"""Pallas kernel equivalence vs jnp twins (interpret mode on CPU; the
+same kernels compile natively on TPU — exercised by bench/--use_pallas).
+
+Each kernel must match its jnp twin to float32 tolerance in both the
+forward value and the gradients (custom_vjp routes bwd through the twin,
+so gradient checks validate the custom_vjp wiring end-to-end)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from stemgnn_tpu.config import StemGNNConfig
+from stemgnn_tpu.models import stemgnn
+from stemgnn_tpu.ops import jnp_impl
+from stemgnn_tpu.ops.pallas_attention import attention_adjacency_pallas
+from stemgnn_tpu.ops.pallas_graph import cheb_graph_conv_pallas
+from stemgnn_tpu.ops.pallas_spectral import spe_seq_cell_pallas
+
+CFG = StemGNNConfig(units=20, window_size=12, horizon=3, multi_layer=5)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return stemgnn.init_params(jax.random.PRNGKey(7), CFG)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    """Run Pallas in interpreter mode on CPU (native Mosaic needs a TPU)."""
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_spe_seq_cell_matches_twin(params):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 4, CFG.units, CFG.window_size)),
+                    dtype=jnp.float32)
+    glu = params["blocks"][0]["glu"]
+    got = spe_seq_cell_pallas(x, glu, CFG.multi_layer)
+    want = jnp_impl.spe_seq_cell(x, glu, CFG.multi_layer)
+    assert got.shape == want.shape == (3, 4, CFG.units, CFG.wm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4)
+
+
+def test_spe_seq_cell_grad(params):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, CFG.window_size)), dtype=jnp.float32)
+    glu = params["blocks"][0]["glu"]
+
+    def loss_pallas(x, glu):
+        return jnp.sum(spe_seq_cell_pallas(x, glu, CFG.multi_layer) ** 2)
+
+    def loss_twin(x, glu):
+        return jnp.sum(jnp_impl.spe_seq_cell(x, glu, CFG.multi_layer) ** 2)
+
+    gx1, gg1 = jax.grad(loss_pallas, argnums=(0, 1))(x, glu)
+    gx2, gg2 = jax.grad(loss_twin, argnums=(0, 1))(x, glu)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-2, rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(gg1), jax.tree.leaves(gg2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2, rtol=1e-3)
+
+
+def test_attention_matches_twin(params):
+    rng = np.random.default_rng(2)
+    enc = jnp.asarray(rng.standard_normal((5, CFG.units, CFG.units)), dtype=jnp.float32)
+    got = attention_adjacency_pallas(
+        enc, params["weight_key"], params["weight_query"], CFG.leaky_rate
+    )
+    want = jnp_impl.attention_adjacency(
+        enc, params["weight_key"], params["weight_query"], CFG.leaky_rate
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got).sum(-1), 1.0, atol=1e-5)
+
+
+def test_attention_grad(params):
+    rng = np.random.default_rng(3)
+    enc = jnp.asarray(rng.standard_normal((2, CFG.units, CFG.units)), dtype=jnp.float32)
+
+    def loss(fn, e, wk, wq):
+        return jnp.sum(fn(e, wk, wq, CFG.leaky_rate) ** 2)
+
+    g1 = jax.grad(lambda e, k, q: loss(attention_adjacency_pallas, e, k, q),
+                  argnums=(0, 1, 2))(enc, params["weight_key"], params["weight_query"])
+    g2 = jax.grad(lambda e, k, q: loss(jnp_impl.attention_adjacency, e, k, q),
+                  argnums=(0, 1, 2))(enc, params["weight_key"], params["weight_query"])
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_cheb_graph_conv_matches_twin():
+    rng = np.random.default_rng(4)
+    n, b, w = CFG.units, 3, CFG.window_size
+    lap = jnp.asarray(rng.standard_normal((n, n)) * 0.1, dtype=jnp.float32)
+    mul_L = jnp_impl.cheb_polynomial(lap)
+    x = jnp.asarray(rng.standard_normal((b, n, w)), dtype=jnp.float32)
+    got = cheb_graph_conv_pallas(mul_L, x)
+    want = jnp_impl.cheb_graph_conv(mul_L, x)
+    assert got.shape == want.shape == (b, 4, n, w)
+    np.testing.assert_allclose(np.asarray(got[:, 0]), 0.0)  # k=0 slab is zero
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_cheb_graph_conv_grad():
+    rng = np.random.default_rng(5)
+    n, b, w = 10, 2, 8
+    lap = jnp.asarray(rng.standard_normal((n, n)) * 0.1, dtype=jnp.float32)
+    mul_L = jnp_impl.cheb_polynomial(lap)
+    x = jnp.asarray(rng.standard_normal((b, n, w)), dtype=jnp.float32)
+
+    def loss(fn, m, xx):
+        return jnp.sum(fn(m, xx) ** 2)
+
+    g1 = jax.grad(lambda m, xx: loss(cheb_graph_conv_pallas, m, xx), argnums=(0, 1))(
+        mul_L, x
+    )
+    g2 = jax.grad(lambda m, xx: loss(jnp_impl.cheb_graph_conv, m, xx), argnums=(0, 1))(
+        mul_L, x
+    )
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+
+def test_full_forward_pallas_matches_jnp(params):
+    """End-to-end: forward(use_pallas=True) == forward(use_pallas=False)."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((3, CFG.window_size, CFG.units)),
+                    dtype=jnp.float32)
+    f_ref, att_ref = stemgnn.forward(params, CFG, x, use_pallas=False)
+    f_pal, att_pal = stemgnn.forward(params, CFG, x, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(att_pal), np.asarray(att_ref),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_ref),
+                               atol=5e-4, rtol=1e-3)
