@@ -51,12 +51,14 @@ def measure(batch=32, steps=100, warmup=10, use_pallas=False, precision="float32
 
     for i in range(warmup):
         params, opt_state, loss = step_fn(params, opt_state, data, his[i], keys[i])
-    jax.block_until_ready(loss)
+    float(loss)  # real materialization — on the tunneled axon backend,
+    # block_until_ready can return before remote execution finishes, so
+    # timings must be closed with a value transfer
 
     t0 = time.perf_counter()
     for i in range(warmup, warmup + steps):
         params, opt_state, loss = step_fn(params, opt_state, data, his[i], keys[i])
-    jax.block_until_ready(loss)
+    final_loss = float(loss)  # forces the whole donated chain
     elapsed = time.perf_counter() - t0
 
     step_time = elapsed / steps
@@ -68,7 +70,7 @@ def measure(batch=32, steps=100, warmup=10, use_pallas=False, precision="float32
         "windows_per_s": windows_per_s,
         "step_time_ms": step_time * 1e3,
         "edges_per_s": edges_per_step / step_time,
-        "loss": float(loss),
+        "loss": final_loss,
     }
 
 

@@ -28,6 +28,14 @@ args = parser.parse_args()
 cfg = config_from_args(args)
 print(f"Training configs: {cfg}")
 
+if cfg.debug_nans:
+    # sanitizer mode (SURVEY.md section 5: the JAX analogue of a runtime
+    # race/NaN sanitizer): every op output is checked, first NaN raises
+    # with the offending primitive
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
+
 data_file = ensure_dataset(cfg.dataset, cfg.data_dir)
 result_train_file = os.path.join(cfg.output_dir, cfg.dataset, "train")
 result_test_file = os.path.join(cfg.output_dir, cfg.dataset, "test")

@@ -76,6 +76,8 @@ class TrainConfig:
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native speed
     resume: bool = False  # restore params+opt state+epoch from last checkpoint
     log_jsonl: bool = True  # structured per-epoch metrics JSONL
+    profile: bool = False  # dump a jax.profiler trace of one epoch
+    debug_nans: bool = False  # sanitizer mode: raise on NaN/Inf in any op
     data_dir: str = "dataset"
     output_dir: str = "output"
 

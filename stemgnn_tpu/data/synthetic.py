@@ -31,7 +31,11 @@ DATASET_SHAPES = {
     "PEMS04": (16992, 307),
     "PEMS07": (28224, 228),
     "PEMS08": (17856, 170),
-    "COVID-19": (335, 25),
+    # upstream COVID-19 is T=335, but a 7/2/1 split of 335 rows leaves a
+    # 34-row test split — too short for the documented window-28/horizon-28
+    # config (the reference crashes on the empty window set). The synthetic
+    # stand-in uses T=1000 so the full documented config runs end-to-end.
+    "COVID-19": (1000, 25),
 }
 
 

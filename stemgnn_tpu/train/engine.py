@@ -78,6 +78,53 @@ def make_train_step(mcfg: StemGNNConfig, opt, use_pallas: bool, precision: str =
     return train_step
 
 
+# chunk sizes for the hierarchical epoch decomposition (greedy largest-
+# first). Each size compiles one scan program (~20 s, cached); per-call
+# dispatch through the remote device transport costs ~18 ms serialized,
+# so an epoch of b batches costs O(log-ish few) dispatches instead of b.
+CHUNK_SIZES = (64, 16, 4)
+CHUNK_STEPS = CHUNK_SIZES[1]  # back-compat for tests/bench
+
+
+def make_epoch_fn(mcfg: StemGNNConfig, opt, use_pallas: bool, precision: str = "float32"):
+    """An n-batch training chunk as ONE device program (`lax.scan` over
+    batches) — TPU-first replacement for the reference's per-batch host
+    loop (handler.py:157-166). The scan length comes from hi_matrix's
+    leading dim, so one builder serves every CHUNK_SIZES entry (jit
+    specializes per shape).
+
+    hi_matrix: [n, B] window end indices; rngs: [n] dropout keys.
+    Returns (params, opt_state, per-batch losses).
+    """
+    w, h = mcfg.window_size, mcfg.horizon
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def epoch_fn(params, opt_state, data, hi_matrix, rngs):
+        def body(carry, inp):
+            params, opt_state = carry
+            hi, rng = inp
+            x, y = gather_windows(data, hi, w, h)
+
+            def loss_fn(p):
+                forecast, _ = stemgnn.forward(
+                    p, mcfg, x, training=True, dropout_rng=rng,
+                    use_pallas=use_pallas, precision=precision,
+                )
+                return jnp.mean((forecast - y) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (hi_matrix, rngs)
+        )
+        return params, opt_state, losses
+
+    return epoch_fn
+
+
 def make_eval_step(mcfg: StemGNNConfig, use_pallas: bool, precision: str = "float32"):
     @jax.jit
     def eval_step(params, x):
@@ -229,6 +276,7 @@ def train(
 
     precision = "bfloat16" if cfg.compute_dtype == "bfloat16" else "float32"
     train_step = make_train_step(mcfg, opt, cfg.use_pallas, precision)
+    epoch_fn = make_epoch_fn(mcfg, opt, cfg.use_pallas, precision)
     eval_step = make_eval_step(mcfg, cfg.use_pallas, precision)
     data_dev = jnp.asarray(train_set.data)
 
@@ -257,18 +305,38 @@ def train(
     for epoch in range(start_epoch, cfg.epoch):
         lr = decayed_lr(cfg.lr, epoch, cfg.exponential_decay_step, cfg.decay_rate)
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        # profiling subsystem (SURVEY.md section 5): trace the first
+        # post-compile epoch into <result_file>/profile
+        profiling = cfg.profile and result_file and epoch == start_epoch + 1
+        if profiling:
+            jax.profiler.start_trace(os.path.join(result_file, "profile"))
         epoch_start_time = time.time()
+        batches = train_set.epoch_batches(cfg.batch_size, shuffle=True, rng=shuffle_rng)
+        n_full = len(batches) - (1 if len(batches[-1]) < cfg.batch_size else 0)
+        cnt = len(batches)
+        keys = jax.random.split(key, cnt + 1)  # ONE device array [cnt+1, 2]
+        key, step_keys = keys[0], keys[1:]
         losses = []
-        cnt = 0
-        for hi_batch in train_set.epoch_batches(cfg.batch_size, shuffle=True, rng=shuffle_rng):
-            key, step_key = jax.random.split(key)
+        lo = 0
+        for size in CHUNK_SIZES:  # greedy hierarchical chunking
+            while n_full - lo >= size:
+                hi_matrix = jnp.asarray(np.stack(batches[lo : lo + size]))
+                params, opt_state, chunk_losses = epoch_fn(
+                    params, opt_state, data_dev, hi_matrix,
+                    step_keys[lo : lo + size],
+                )
+                losses.append(chunk_losses)
+                lo += size
+        for j in range(lo, cnt):  # leftover full + remainder partial batch
             params, opt_state, loss = train_step(
-                params, opt_state, data_dev, jnp.asarray(hi_batch), step_key
+                params, opt_state, data_dev, jnp.asarray(batches[j]), step_keys[j]
             )
-            losses.append(loss)
-            cnt += 1
-        loss_total = float(jnp.sum(jnp.stack(losses)))  # one sync per epoch
+            losses.append(loss[None])
+        loss_total = float(jnp.sum(jnp.concatenate(losses)))  # one sync per epoch
         epoch_time = time.time() - epoch_start_time
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"profile trace written to {os.path.join(result_file, 'profile')}")
         print(
             "| end of epoch {:3d} | time: {:5.2f}s | train_total_loss {:5.4f}".format(
                 epoch, epoch_time, loss_total / cnt
