@@ -1,0 +1,109 @@
+"""Multi-config benchmark suite (SURVEY.md §7 step 6).
+
+Measures steady-state training throughput (windows/s, edges/s through the
+Chebyshev graph conv) across the reference's dataset configs
+(README.md:71-80 node counts / windows / horizons) and kernel variants
+(jnp vs Pallas, float32 vs bfloat16), on whatever device JAX resolves
+(the attached TPU chip under axon; CPU otherwise).
+
+Writes benchmarks/results.json:
+  {"device": ..., "rows": [{"config", "n_nodes", "window", "horizon",
+    "variant", "windows_per_s", "step_time_ms", "edges_per_s"}, ...]}
+
+Usage: python benchmarks/suite.py [--steps N] [--configs ECG,PEMS07,...]
+       [--variants jnp_f32,pallas_f32,jnp_bf16,pallas_bf16] [--large]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# dataset configs: (n_nodes, window, horizon, multi, batch)
+# node counts per reference README.md:74-80; window/horizon per the
+# horizon-3 config table (COVID-19 uses 28/28, README.md:101)
+CONFIGS = {
+    "COVID-19": (25, 28, 28, 5, 32),
+    "ECG": (140, 12, 3, 5, 32),
+    "PEMS08": (170, 12, 3, 5, 32),
+    "METR-LA": (207, 12, 3, 5, 32),
+    "PEMS07": (228, 12, 3, 5, 32),
+    "PEMS04": (307, 12, 3, 5, 32),
+    "PEMS-BAY": (325, 12, 3, 5, 32),
+    "PEMS03": (358, 12, 3, 5, 32),
+}
+# stretch: large latent graphs (quadratic N^2 terms dominate; SURVEY §3.3)
+LARGE_CONFIGS = {
+    "synthetic-1k": (1024, 12, 3, 5, 8),
+    "synthetic-4k": (4096, 12, 3, 5, 2),
+}
+
+VARIANTS = {
+    "jnp_f32": (False, "float32"),
+    "pallas_f32": (True, "float32"),
+    "jnp_bf16": (False, "bfloat16"),
+    "pallas_bf16": (True, "bfloat16"),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--configs", type=str, default="ECG,PEMS07,PEMS03,COVID-19")
+    ap.add_argument("--variants", type=str, default="jnp_f32,pallas_f32,jnp_bf16")
+    ap.add_argument("--large", action="store_true", help="include synthetic large-N configs")
+    ap.add_argument("--out", type=str,
+                    default=os.path.join(os.path.dirname(__file__), "results.json"))
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests; no TPU contention)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from bench import measure
+
+    table = dict(CONFIGS)
+    if args.large:
+        table.update(LARGE_CONFIGS)
+
+    rows = []
+    for name in args.configs.split(","):
+        name = name.strip()
+        if name not in table:
+            print(f"skip unknown config {name}", file=sys.stderr)
+            continue
+        n, w, h, m, b = table[name]
+        for vname in args.variants.split(","):
+            use_pallas, precision = VARIANTS[vname.strip()]
+            try:
+                res = measure(
+                    batch=b, steps=args.steps, warmup=args.warmup,
+                    use_pallas=use_pallas, precision=precision,
+                    n_nodes=n, window=w, horizon=h, multi=m,
+                )
+            except Exception as e:  # e.g. Pallas shape limits on a config
+                print(f"{name}/{vname}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+                continue
+            row = {
+                "config": name, "n_nodes": n, "window": w, "horizon": h,
+                "batch": b, "variant": vname,
+                "windows_per_s": round(res["windows_per_s"], 2),
+                "step_time_ms": round(res["step_time_ms"], 3),
+                "edges_per_s": round(res["edges_per_s"]),
+            }
+            rows.append(row)
+            print(json.dumps(row))
+
+    out = {"device": str(jax.devices()[0]), "rows": rows}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {args.out} ({len(rows)} rows)")
+
+
+if __name__ == "__main__":
+    main()

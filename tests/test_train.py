@@ -110,6 +110,28 @@ def test_loss_decreases(tmp_path_factory, tiny_data):
     assert losses[-1] < losses[0]
 
 
+def test_inference_splice_multi_iteration():
+    """The autoregressive splice (handler.py:51-61) with len_model_output <
+    horizon: the window is shifted left and predictions written into the
+    tail, iterating until horizon steps accumulate.
+
+    Fake one-step model on data[t, n] = t: predict last value + 1. The
+    3-step rollout must then reproduce the true continuation exactly.
+    """
+    from stemgnn_tpu.data.pipeline import WindowDataset
+
+    w, h, n = 6, 3, 4
+    data = np.tile(np.arange(40, dtype=np.float64)[:, None], (1, n))
+    ds = WindowDataset(data, w, h, None, None)
+
+    def one_step_eval(params, x):
+        return np.asarray(x)[:, -1:, :] + 1.0
+
+    forecast, target = engine.inference(one_step_eval, None, ds, 8, n, w, h)
+    np.testing.assert_allclose(forecast, target)
+    assert forecast.shape == (len(ds), h, n)
+
+
 def test_empty_data_raises(tiny_cfg):
     with pytest.raises(Exception, match="Cannot organize enough training data"):
         engine.train(np.zeros((0, 4)), np.ones((50, 4)), tiny_cfg, None)
