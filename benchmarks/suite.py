@@ -34,10 +34,15 @@ CONFIGS = {
     "PEMS-BAY": (325, 12, 3, 5, 32),
     "PEMS03": (358, 12, 3, 5, 32),
 }
-# stretch: large latent graphs (quadratic N^2 terms dominate; SURVEY §3.3)
+# stretch: large latent graphs (quadratic N^2 terms dominate; SURVEY §3.3).
+# 6th field: sparse_k for the top-k sparse latent-graph path (ops/sparse.py);
+# None = dense. (The reference model's unit==N GRU caps the FULL model's
+# feasible N at ~8k on one chip — 3N² recurrent weights; the sparse path
+# removes the N²/N³ GRAPH terms, which is what it is for.)
 LARGE_CONFIGS = {
-    "synthetic-1k": (1024, 12, 3, 5, 8),
-    "synthetic-4k": (4096, 12, 3, 5, 2),
+    "synthetic-1k": (1024, 12, 3, 5, 8, None),
+    "synthetic-4k-sparse64": (4096, 12, 3, 5, 4, 64),
+    "synthetic-8k-sparse64": (8192, 12, 3, 5, 2, 64),
 }
 
 VARIANTS = {
@@ -77,21 +82,23 @@ def main():
         if name not in table:
             print(f"skip unknown config {name}", file=sys.stderr)
             continue
-        n, w, h, m, b = table[name]
+        row_cfg = table[name]
+        n, w, h, m, b = row_cfg[:5]
+        sparse_k = row_cfg[5] if len(row_cfg) > 5 else None
         for vname in args.variants.split(","):
             use_pallas, precision = VARIANTS[vname.strip()]
             try:
                 res = measure(
                     batch=b, steps=args.steps, warmup=args.warmup,
                     use_pallas=use_pallas, precision=precision,
-                    n_nodes=n, window=w, horizon=h, multi=m,
+                    n_nodes=n, window=w, horizon=h, multi=m, sparse_k=sparse_k,
                 )
             except Exception as e:  # e.g. Pallas shape limits on a config
                 print(f"{name}/{vname}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
                 continue
             row = {
                 "config": name, "n_nodes": n, "window": w, "horizon": h,
-                "batch": b, "variant": vname,
+                "batch": b, "variant": vname, "sparse_k": sparse_k,
                 "windows_per_s": round(res["windows_per_s"], 2),
                 "step_time_ms": round(res["step_time_ms"], 3),
                 "edges_per_s": round(res["edges_per_s"]),

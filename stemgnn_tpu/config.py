@@ -23,6 +23,10 @@ class StemGNNConfig:
     stack_cnt: int = 2  # two residual stacks (handler.py:105)
     dropout_rate: float = 0.5  # on attention rows (base_model.py:103,161)
     leaky_rate: float = 0.2  # attention LeakyReLU slope (base_model.py:102)
+    # stretch config (no reference counterpart): top-k sparse latent graph +
+    # feature-space Chebyshev — O(N*k) instead of O(N^2)/O(N^3); see
+    # ops/sparse.py. None = exact dense reference semantics.
+    sparse_k: Optional[int] = None
 
     @property
     def wm(self) -> int:
@@ -75,6 +79,7 @@ class TrainConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native speed
     resume: bool = False  # restore params+opt state+epoch from last checkpoint
+    sparse_k: int = 0  # >0: top-k sparse latent graph (large-N stretch path)
     log_jsonl: bool = True  # structured per-epoch metrics JSONL
     profile: bool = False  # dump a jax.profiler trace of one epoch
     debug_nans: bool = False  # sanitizer mode: raise on NaN/Inf in any op
@@ -90,6 +95,7 @@ class TrainConfig:
             stack_cnt=2,
             dropout_rate=self.dropout_rate,
             leaky_rate=self.leakyrelu_rate,
+            sparse_k=self.sparse_k if self.sparse_k > 0 else None,
         )
 
 

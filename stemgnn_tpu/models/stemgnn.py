@@ -150,10 +150,29 @@ def latent_correlation_layer(
     use_pallas: bool = False,
     mesh=None,
 ):
-    """base_model.py:136-149. Returns (mul_L [4,N,N], attention [N,N])."""
-    enc = gru_over_nodes(params["gru"], x)  # [B, N_seq, N_hid]
+    """base_model.py:136-149. Returns (mul_L [4,N,N], attention [N,N]).
+
+    Stretch path (cfg.sparse_k set): returns (SparseLatentGraph,
+    SparseLatentGraph) instead — O(N*k) storage, no [N,N] or [B,N,N]
+    materialization (ops/sparse.py).
+    """
+    gru_fn = ops.select_gru(use_pallas, cfg.units)
+    enc = gru_fn(params["gru"], x)  # [B, N_seq, N_hid]
     # the reference's input.permute(0,2,1) — only legal because hidden==N
     enc = jnp.swapaxes(enc, 1, 2)  # [B, N_hid, N_seq]
+    if cfg.sparse_k is not None:
+        from stemgnn_tpu.ops import sparse as sparse_ops
+
+        # batch-meaned rank-1 projections (stretch approximation; exact
+        # for B == 1 — see ops/sparse.py docstring)
+        key_vec = jnp.mean(enc @ params["weight_key"], axis=0)[:, 0]  # [N]
+        query_vec = jnp.mean(enc @ params["weight_query"], axis=0)[:, 0]
+        g = sparse_ops.topk_latent_graph(
+            key_vec, query_vec, cfg.leaky_rate, cfg.sparse_k,
+            dropout_rng=dropout_rng if training else None,
+            dropout_rate=cfg.dropout_rate if training else 0.0,
+        )
+        return g, g
     enc = constrain(enc, mesh, P(DATA_AXIS, GRAPH_AXIS, None))
     attention_fn = ops.select_attention(use_pallas)
     att = attention_fn(
@@ -185,9 +204,14 @@ def block_forward(
     node-sharded outputs, so the quadratic N^2 work and the wide GLU/
     contraction matmuls are all node-partitioned (SURVEY.md section 7.5).
     """
-    graph_conv = ops.select_graph_conv(use_pallas)
     spe_seq = ops.select_spe_seq_cell(use_pallas)
-    gfted = graph_conv(mul_L, x)  # [B, 4, N, W]
+    from stemgnn_tpu.ops.sparse import SparseLatentGraph, sparse_cheb_conv
+
+    if isinstance(mul_L, SparseLatentGraph):
+        gfted = sparse_cheb_conv(mul_L, x)  # [B, 4, N, W], O(N*k)
+    else:
+        graph_conv = ops.select_graph_conv(use_pallas)
+        gfted = graph_conv(mul_L, x)  # [B, 4, N, W]
     gfted = constrain(gfted, mesh, P(DATA_AXIS, None, GRAPH_AXIS, None))
     gconv = spe_seq(gfted, block["glu"], cfg.multi_layer)  # [B, 4, N, Wm]
     gconv = constrain(gconv, mesh, P(DATA_AXIS, None, GRAPH_AXIS, None))

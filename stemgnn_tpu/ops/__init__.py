@@ -35,6 +35,22 @@ def select_graph_conv(use_pallas: bool):
     return cheb_graph_conv
 
 
+def select_gru(use_pallas: bool, units: int, force_pallas_gru: bool = False):
+    """GRU recurrence dispatch. Measured on v5e (benchmarks/probe.py,
+    N=140 B=32): the fused Pallas kernel (ops/pallas_gru.py) ties XLA's
+    lax.scan on the forward (0.74 vs 0.70 ms) but loses on fwd+bwd (1.72
+    vs 1.03 ms — the reverse-grid backward streams 4 blocks/step), so the
+    scan twin is the default even under --use_pallas; the kernel stays
+    in-tree, tested, and opt-in for future tuning."""
+    if force_pallas_gru and units <= 512:
+        from stemgnn_tpu.ops.pallas_gru import gru_over_nodes_pallas
+
+        return gru_over_nodes_pallas
+    from stemgnn_tpu.models.stemgnn import gru_over_nodes
+
+    return lambda gru, x: gru_over_nodes(gru, x)
+
+
 def select_attention(use_pallas: bool):
     if use_pallas:
         from stemgnn_tpu.ops.pallas_attention import attention_adjacency_pallas

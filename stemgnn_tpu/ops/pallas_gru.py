@@ -1,0 +1,246 @@
+"""Fused Pallas GRU scan — the serial hot spot of the latent layer.
+
+The reference runs `nn.GRU` over the NODE axis (base_model.py:137): N
+sequential steps whose per-step work is three tiny [B,N]x[N,N] matmuls.
+Probe on the attached v5e (benchmarks/probe.py): the XLA `lax.scan`
+version costs ~0.7 ms fwd / ~1.0 ms fwd+bwd of a 2.65 ms train step —
+the recurrence is latency-bound on per-iteration loop overhead, not
+FLOPs.
+
+Kernel design: ONE `pallas_call` whose grid is the time axis. TPU grids
+execute sequentially, which is exactly a recurrence: the hidden state
+lives in a VMEM scratch buffer across grid steps, the gate weights stay
+VMEM-resident, and the pipeline double-buffers the per-step input
+projection block HBM->VMEM while the previous step computes. The input
+projection itself (x @ W_ih + b_ih, parallel over all N steps) stays in
+XLA as one big MXU matmul.
+
+Backward: custom_vjp with a second Pallas kernel running the grid in
+REVERSE (index maps flip the time axis), carrying dh in VMEM scratch and
+emitting per-step gate gradients [dr, dz, dn, d(hpn)]; the weight/bias
+gradients are then single XLA einsums over the saved forward states (no
+accumulator outputs in the kernel, better MXU shapes).
+
+Gate math (torch GRU, gate order r,z,n — matches models/stemgnn.py):
+    r = sigmoid(x_r + h @ A_r + b_r)
+    z = sigmoid(x_z + h @ A_z + b_z)
+    hpn = h @ A_n + b_n
+    c = tanh(x_n + r * hpn)
+    h' = (1 - z) * c + z * h
+
+VMEM budget: weights 3*N*N*4 bytes must fit on-chip — the dispatch in
+models/stemgnn.py uses this kernel for N <= MAX_UNITS and falls back to
+the lax.scan twin above that (the sparse stretch path keeps its own).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# 3*N*N fp32 weights + double-buffered blocks must fit in ~16 MB VMEM
+MAX_UNITS = 512
+# time steps per grid iteration: amortizes per-step pipeline overhead
+# (measured 2x slower at U=1 than the XLA scan; the recurrence math is
+# identical — U only changes the grid/block granularity). The time axis
+# is zero-padded to a multiple of U; padded steps compute garbage h that
+# nothing reads, and in the backward the padded cotangents are zero so
+# the dh carry stays exact (see _vjp_bwd).
+UNROLL = 8
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b):
+    """a @ b.T on the MXU without materializing the transpose."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fwd_kernel(xp_ref, a_ref, b_ref, out_ref, h_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    h = h_ref[:]
+    for u in range(xp_ref.shape[0]):  # UNROLL steps per grid iteration
+        xp = xp_ref[u]  # [3, B, N]
+        r = jax.nn.sigmoid(xp[0] + _dot(h, a_ref[0]) + b_ref[0])
+        z = jax.nn.sigmoid(xp[1] + _dot(h, a_ref[1]) + b_ref[1])
+        hpn = _dot(h, a_ref[2]) + b_ref[2]
+        c = jnp.tanh(xp[2] + r * hpn)
+        h = (1.0 - z) * c + z * h
+        out_ref[u] = h
+    h_ref[:] = h
+
+
+def _bwd_kernel(xp_ref, hs_ref, hsprev_ref, g_ref, a_ref, b_ref, dxp_ref, dh_ref):
+    t = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    u_steps = xp_ref.shape[0]
+
+    @pl.when(t == 0)  # reversed grid: first iteration is the LAST time block
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+
+    dh = dh_ref[:]
+    for u in reversed(range(u_steps)):
+        if u > 0:
+            h_prev = hs_ref[u - 1]
+        else:
+            # last element of the previous time block; zeros at step 0
+            # (t == n_blocks-1 is block 0 of the reversed grid)
+            h_prev = jnp.where(t == n_blocks - 1, 0.0, hsprev_ref[u_steps - 1])
+        xp = xp_ref[u]
+        # recompute the gates (cheaper than saving 4 activations per step)
+        r = jax.nn.sigmoid(xp[0] + _dot(h_prev, a_ref[0]) + b_ref[0])
+        z = jax.nn.sigmoid(xp[1] + _dot(h_prev, a_ref[1]) + b_ref[1])
+        hpn = _dot(h_prev, a_ref[2]) + b_ref[2]
+        c = jnp.tanh(xp[2] + r * hpn)
+
+        dh_total = g_ref[u] + dh
+        dz = dh_total * (h_prev - c) * z * (1.0 - z)
+        dn = dh_total * (1.0 - z) * (1.0 - c * c)
+        dhpn = dn * r
+        dr = dn * hpn * r * (1.0 - r)
+
+        dxp_ref[u, 0] = dr
+        dxp_ref[u, 1] = dz
+        dxp_ref[u, 2] = dn
+        dxp_ref[u, 3] = dhpn
+        dh = (
+            dh_total * z + _dot_t(dr, a_ref[0]) + _dot_t(dz, a_ref[1])
+            + _dot_t(dhpn, a_ref[2])
+        )
+    dh_ref[:] = dh
+
+
+def _full(shape):
+    return pl.BlockSpec(shape, lambda t: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _pad_time(x, n_pad):
+    n = x.shape[0]
+    if n_pad == n:
+        return x
+    return jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
+
+
+def _run_forward(x_proj, a3, bh3):
+    n, _, b, nh = x_proj.shape
+    n_pad = -(-n // UNROLL) * UNROLL
+    xp = _pad_time(x_proj, n_pad)
+    hs = pl.pallas_call(
+        _fwd_kernel,
+        grid=(n_pad // UNROLL,),
+        in_specs=[
+            pl.BlockSpec((UNROLL, 3, b, nh), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _full(a3.shape),
+            _full(bh3.shape),
+        ],
+        out_specs=pl.BlockSpec((UNROLL, b, nh), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, b, nh), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, nh), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * 3 * b * nh * nh,
+            bytes_accessed=4 * n_pad * b * nh * 4 + 4 * 3 * nh * nh,
+            transcendentals=3 * n_pad * b * nh,
+        ),
+    )(xp, a3, bh3)
+    return hs[:n]
+
+
+@functools.partial(jax.custom_vjp)
+def gru_scan_pallas(x_proj, a3, bh3):
+    """Fused GRU recurrence.
+
+    x_proj: [N, 3, B, H] input projection x@W_ih + b_ih, gate-major.
+    a3:     [3, H, H] recurrent matrices A_g = W_hh[g].T (h @ A_g).
+    bh3:    [3, 1, H] recurrent biases.
+    Returns hs [N, B, H] — the full output sequence.
+    """
+    return _run_forward(x_proj, a3, bh3)
+
+
+def _vjp_fwd(x_proj, a3, bh3):
+    hs = _run_forward(x_proj, a3, bh3)
+    return hs, (x_proj, a3, bh3, hs)
+
+
+def _vjp_bwd(res, g):
+    x_proj, a3, bh3, hs = res
+    n, _, b, nh = x_proj.shape
+    n_pad = -(-n // UNROLL) * UNROLL
+    nb = n_pad // UNROLL
+    xp = _pad_time(x_proj, n_pad)
+    hs_p = _pad_time(hs, n_pad)
+    g_p = _pad_time(g, n_pad)  # zero cotangents keep the padded dh exact
+    rev4 = lambda t: (nb - 1 - t, 0, 0, 0)
+    rev3 = lambda t: (nb - 1 - t, 0, 0)
+    dxp4 = pl.pallas_call(
+        _bwd_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((UNROLL, 3, b, nh), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((UNROLL, b, nh), rev3, memory_space=pltpu.VMEM),
+            # previous-in-time block (its last element is h_{s-1} for the
+            # block's first step); clamped at 0 — the t == nb-1 iteration
+            # overrides it with zeros in-kernel
+            pl.BlockSpec((UNROLL, b, nh),
+                         lambda t: (jnp.maximum(nb - 2 - t, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((UNROLL, b, nh), rev3, memory_space=pltpu.VMEM),
+            _full(a3.shape),
+            _full(bh3.shape),
+        ],
+        out_specs=pl.BlockSpec((UNROLL, 4, b, nh), rev4,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4, b, nh), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, nh), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * 6 * b * nh * nh,
+            bytes_accessed=4 * n_pad * b * nh * 9 + 4 * 3 * nh * nh,
+            transcendentals=3 * n_pad * b * nh,
+        ),
+    )(xp, hs_p, hs_p, g_p, a3, bh3)[:n]
+
+    dx_proj = dxp4[:, :3]
+    # weight/bias grads as single XLA contractions over the saved states:
+    # dA_g = sum_t h_{t-1}^T @ dgate_t, with dgate = (dr, dz, dhpn)
+    h_prev_seq = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
+    dgates = jnp.stack([dxp4[:, 0], dxp4[:, 1], dxp4[:, 3]], axis=0)  # [3,N,B,H]
+    da3 = jnp.einsum("tbi,gtbj->gij", h_prev_seq, dgates)
+    dbh3 = jnp.sum(dgates, axis=(1, 2))[:, None, :]  # [3, 1, H]
+    return dx_proj, da3, dbh3
+
+
+gru_scan_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def gru_over_nodes_pallas(gru, x):
+    """Pallas twin of models.stemgnn.gru_over_nodes: x [B, W, N] -> [B, N, N].
+
+    The hoisted input projection and the parameter-layout reshapes stay in
+    XLA (differentiated automatically around the custom_vjp core).
+    """
+    b, w, n = x.shape
+    xs = jnp.transpose(x, (2, 0, 1))  # [N, B, W]
+    x_proj = jnp.einsum("nbw,gw->nbg", xs, gru["w_ih"]) + gru["b_ih"]  # [N,B,3N]
+    x_proj = jnp.transpose(x_proj.reshape(n, b, 3, n), (0, 2, 1, 3))  # [N,3,B,N]
+    a3 = jnp.transpose(gru["w_hh"].reshape(3, n, n), (0, 2, 1))  # [3,N,N]
+    bh3 = gru["b_hh"].reshape(3, 1, n)
+    hs = gru_scan_pallas(x_proj, a3, bh3)  # [N, B, N]
+    return jnp.transpose(hs, (1, 0, 2))

@@ -123,6 +123,44 @@ def test_cheb_graph_conv_grad():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
 
 
+def test_gru_scan_matches_twin(params):
+    from stemgnn_tpu.ops.pallas_gru import gru_over_nodes_pallas
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((3, CFG.window_size, CFG.units)),
+                    dtype=jnp.float32)
+    got = gru_over_nodes_pallas(params["gru"], x)
+    want = stemgnn.gru_over_nodes(params["gru"], x)
+    assert got.shape == want.shape == (3, CFG.units, CFG.units)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_gru_scan_grad(params):
+    """Custom Pallas backward (reverse-grid dh carry + XLA weight einsums)
+    vs autodiff through the lax.scan twin — pins every gradient path:
+    x, W_ih, b_ih, W_hh, b_hh."""
+    from stemgnn_tpu.ops.pallas_gru import gru_over_nodes_pallas
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, CFG.window_size, CFG.units)),
+                    dtype=jnp.float32)
+    # non-trivial cotangent (weighted sum, not plain sum)
+    wgt = jnp.asarray(rng.standard_normal((2, CFG.units, CFG.units)),
+                      dtype=jnp.float32)
+
+    def loss(fn, gru, xx):
+        return jnp.sum(wgt * fn(gru, xx))
+
+    g1 = jax.grad(lambda gru, xx: loss(gru_over_nodes_pallas, gru, xx),
+                  argnums=(0, 1))(params["gru"], x)
+    g2 = jax.grad(lambda gru, xx: loss(stemgnn.gru_over_nodes, gru, xx),
+                  argnums=(0, 1))(params["gru"], x)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_full_forward_pallas_matches_jnp(params):
     """End-to-end: forward(use_pallas=True) == forward(use_pallas=False)."""
     rng = np.random.default_rng(6)
