@@ -149,6 +149,7 @@ def latent_correlation_layer(
     dropout_rng=None,
     use_pallas: bool = False,
     mesh=None,
+    use_ring: bool = False,
 ):
     """base_model.py:136-149. Returns (mul_L [4,N,N], attention [N,N]).
 
@@ -174,10 +175,21 @@ def latent_correlation_layer(
         )
         return g, g
     enc = constrain(enc, mesh, P(DATA_AXIS, GRAPH_AXIS, None))
-    attention_fn = ops.select_attention(use_pallas)
-    att = attention_fn(
-        enc, params["weight_key"], params["weight_query"], cfg.leaky_rate
-    )  # [B, N, N]
+    if use_ring and mesh is not None and mesh.shape[GRAPH_AXIS] > 1:
+        # explicit ppermute ring over the 'graph' axis (two-phase online
+        # softmax, parallel/ring.py) instead of the GSPMD-constrained
+        # dense softmax — each device only ever holds its row block
+        from stemgnn_tpu.parallel.ring import ring_attention
+
+        att = ring_attention(
+            mesh, enc, params["weight_key"], params["weight_query"],
+            cfg.leaky_rate,
+        )  # [B, N, N] row-sharded over 'graph'
+    else:
+        attention_fn = ops.select_attention(use_pallas)
+        att = attention_fn(
+            enc, params["weight_key"], params["weight_query"], cfg.leaky_rate
+        )  # [B, N, N]
     if training and cfg.dropout_rate > 0.0:
         keep = 1.0 - cfg.dropout_rate
         mask = jax.random.bernoulli(dropout_rng, keep, att.shape)
@@ -228,7 +240,8 @@ def block_forward(
     return forecast, None
 
 
-@partial(jax.jit, static_argnames=("cfg", "training", "use_pallas", "precision", "mesh"))
+@partial(jax.jit, static_argnames=(
+    "cfg", "training", "use_pallas", "precision", "mesh", "use_ring"))
 def forward(
     params: Params,
     cfg: StemGNNConfig,
@@ -239,6 +252,7 @@ def forward(
     use_pallas: bool = False,
     precision: str = "float32",
     mesh=None,
+    use_ring: bool = False,
 ):
     """Model.forward (base_model.py:167-179).
 
@@ -253,7 +267,7 @@ def forward(
         x = constrain(x, mesh, P(DATA_AXIS, None, None))
         mul_L, attention = latent_correlation_layer(
             params, cfg, x, training=training, dropout_rng=dropout_rng,
-            use_pallas=use_pallas, mesh=mesh,
+            use_pallas=use_pallas, mesh=mesh, use_ring=use_ring,
         )
         feat = jnp.transpose(x, (0, 2, 1))  # [B, N, W]
         forecasts = []

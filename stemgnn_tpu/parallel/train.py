@@ -23,10 +23,12 @@ def make_sharded_train_step(
     mesh,
     use_pallas: bool = False,
     precision: str = "float32",
+    use_ring: bool = False,
 ):
     """A train step whose batch is sharded over 'data' and whose model
     internals are node-partitioned over 'graph' (via the sharding
-    constraints inside stemgnn.forward).
+    constraints inside stemgnn.forward; `use_ring` swaps the attention
+    for the explicit ppermute ring of parallel/ring.py).
 
     Inputs: params/opt_state/data replicated, `hi` (window end indices,
     [B]) sharded over 'data'. Gradients are summed across 'data' by XLA
@@ -49,6 +51,7 @@ def make_sharded_train_step(
             forecast, _ = stemgnn.forward(
                 p, mcfg, x, training=True, dropout_rng=rng,
                 use_pallas=use_pallas, precision=precision, mesh=mesh,
+                use_ring=use_ring,
             )
             return jnp.mean((forecast - y) ** 2)
 

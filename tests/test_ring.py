@@ -28,6 +28,55 @@ def test_ring_attention_matches_dense(graph_axis):
     np.testing.assert_allclose(np.asarray(got).sum(-1), 1.0, atol=1e-5)
 
 
+def test_forward_use_ring_matches_dense():
+    """Full model forward with the ring attention path (use_ring=True on a
+    1x4 mesh) == single-device dense forward."""
+    from stemgnn_tpu.config import StemGNNConfig
+    from stemgnn_tpu.models import stemgnn
+
+    rng = np.random.default_rng(1)
+    n, w, h, b = 16, 8, 3, 4
+    cfg = StemGNNConfig(units=n, window_size=w, horizon=h, multi_layer=2)
+    params = stemgnn.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.standard_normal((b, w, n)), dtype=jnp.float32)
+    f_dense, att_dense = stemgnn.forward(params, cfg, x)
+    mesh = make_mesh(1, 4)
+    f_ring, att_ring = stemgnn.forward(params, cfg, x, mesh=mesh, use_ring=True)
+    np.testing.assert_allclose(np.asarray(att_ring), np.asarray(att_dense),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_ring), np.asarray(f_dense),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_ring_sharded_train_step_runs():
+    """One sharded train step with use_ring=True on a 2x4 mesh: finite
+    loss, params update."""
+    from stemgnn_tpu.config import StemGNNConfig
+    from stemgnn_tpu.models import stemgnn
+    from stemgnn_tpu.parallel.train import make_sharded_train_step
+    from stemgnn_tpu.train.optim import make_optimizer
+
+    n, w, h, b = 16, 8, 3, 4
+    cfg = StemGNNConfig(units=n, window_size=w, horizon=h, multi_layer=2)
+    params = stemgnn.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer("RMSProp", 1e-3)
+    opt_state = opt.init(params)
+    mesh = make_mesh(2, 4)
+    rng = np.random.default_rng(2)
+    data = jnp.asarray(rng.standard_normal((64, n)), dtype=jnp.float32)
+    hi = jnp.asarray(rng.integers(w, 64 - h, size=b), dtype=jnp.int32)
+    step = make_sharded_train_step(cfg, opt, mesh, use_ring=True)
+    p0 = jax.tree.map(lambda a: np.asarray(a).copy(), params)
+    params, opt_state, loss = step(params, opt_state, data, hi,
+                                   jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    changed = any(
+        not np.allclose(np.asarray(a), b)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p0))
+    )
+    assert changed
+
+
 def test_ring_attention_rejects_indivisible():
     mesh = make_mesh(1, 8)
     enc = jnp.zeros((1, 30, 30))
