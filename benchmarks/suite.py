@@ -37,8 +37,10 @@ CONFIGS = {
 # stretch: large latent graphs (quadratic N^2 terms dominate; SURVEY §3.3).
 # 6th field: sparse_k for the top-k sparse latent-graph path (ops/sparse.py);
 # None = dense. (The reference model's unit==N GRU caps the FULL model's
-# feasible N at ~8k on one chip — 3N² recurrent weights; the sparse path
-# removes the N²/N³ GRAPH terms, which is what it is for.)
+# feasible N at ~8k on one chip — 3N² recurrent weights, and N sequential
+# steps of N² work make the recurrence itself O(N³): measured 4.8 s/step
+# at N=4096 B=4, ~all of it GRU. The sparse path removes the N²/N³ GRAPH
+# terms, which is what it is for; the GRU term is architecture-inherent.)
 LARGE_CONFIGS = {
     "synthetic-1k": (1024, 12, 3, 5, 8, None),
     "synthetic-4k-sparse64": (4096, 12, 3, 5, 4, 64),

@@ -132,6 +132,32 @@ def test_inference_splice_multi_iteration():
     assert forecast.shape == (len(ds), h, n)
 
 
+def test_inference_batched_matches_loop(tiny_data):
+    """Device-side batched eval (one scan program + remainder batch) ==
+    the per-batch splice loop, including the trailing partial batch."""
+    import jax
+
+    from stemgnn_tpu.config import StemGNNConfig
+    from stemgnn_tpu.data.pipeline import WindowDataset
+    from stemgnn_tpu.models import stemgnn
+    from stemgnn_tpu.train.engine import (
+        make_eval_epoch_fn, make_eval_step, inference, inference_batched,
+    )
+
+    w, h, n = 8, 3, 6
+    cfg = StemGNNConfig(units=n, window_size=w, horizon=h, multi_layer=2)
+    params = stemgnn.init_params(jax.random.PRNGKey(3), cfg)
+    ds = WindowDataset(tiny_data[:80], w, h, "z_score", None)
+    bs = 16  # len(ds) = 70 -> 4 full batches + remainder of 6
+    assert len(ds) % bs != 0
+    eval_step = make_eval_step(cfg, False)
+    eval_epoch_fn = make_eval_epoch_fn(cfg, False)
+    f_loop, t_loop = inference(eval_step, params, ds, bs, n, w, h)
+    f_fast, t_fast = inference_batched(eval_epoch_fn, eval_step, params, ds, bs)
+    np.testing.assert_allclose(t_fast, t_loop, rtol=1e-6)
+    np.testing.assert_allclose(f_fast, f_loop, rtol=1e-5, atol=1e-6)
+
+
 def test_empty_data_raises(tiny_cfg):
     with pytest.raises(Exception, match="Cannot organize enough training data"):
         engine.train(np.zeros((0, 4)), np.ones((50, 4)), tiny_cfg, None)
