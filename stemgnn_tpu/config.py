@@ -79,6 +79,8 @@ class TrainConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native speed
     resume: bool = False  # restore params+opt state+epoch from last checkpoint
+    ckpt_every: int = 1  # per-epoch checkpoint cadence (reference: every epoch)
+    ckpt_async: bool = True  # overlap checkpoint transfer/write with training
     sparse_k: int = 0  # >0: top-k sparse latent graph (large-N stretch path)
     log_jsonl: bool = True  # structured per-epoch metrics JSONL
     profile: bool = False  # dump a jax.profiler trace of one epoch

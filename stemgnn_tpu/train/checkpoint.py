@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import struct
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -113,3 +115,75 @@ def load_norm_stat(result_dir: str) -> Dict:
     """handler.py:195-196."""
     with open(os.path.join(result_dir, "norm_stat.json"), "r") as f:
         return json.load(f)
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint I/O with the next epoch's device work.
+
+    The reference pickles the whole module synchronously every epoch
+    (handler.py:169). Here the hot loop only snapshots the pytree with an
+    on-device copy (cheap, non-blocking, and safe against the next step's
+    buffer donation); the device->host transfer, serialization, and atomic
+    file write all happen on a single worker thread. Writes are strictly
+    ordered (one queue, one worker), so the best-model file and the
+    per-epoch files can never interleave into a torn state.
+
+    `wait()` drains the queue — call it before reading checkpoints back
+    (e.g. at end of training or before `test`).
+    """
+
+    def __init__(self, max_pending: int = 2):
+        # bounded queue: if the disk can't keep up we block the trainer
+        # rather than accumulate unbounded host copies of the model
+        self._q: queue.Queue = queue.Queue(maxsize=max_pending)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            model_dir, state, epoch, meta = item
+            try:
+                state = jax.device_get(state)  # transfer off the hot path
+                save(model_dir, state["params"], state.get("opt_state"),
+                     epoch=epoch, meta=meta)
+            except BaseException as e:  # surfaced on next submit/wait
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _raise_pending(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def submit(self, model_dir: str, params: Any, opt_state: Any = None, *,
+               epoch: Optional[int] = None, meta: Optional[Dict] = None):
+        """Snapshot (device-side copy) and enqueue an asynchronous save."""
+        self._raise_pending()
+        if model_dir is None:
+            return
+        state = {"params": params}
+        if opt_state is not None:
+            state["opt_state"] = opt_state
+        # device-side copy: the trainer donates `params`/`opt_state` buffers
+        # to the next step, so the worker must not read the originals
+        state = jax.tree.map(
+            lambda a: a.copy() if isinstance(a, jax.Array) else np.asarray(a),
+            state,
+        )
+        self._q.put((model_dir, state, epoch, dict(meta or {})))
+
+    def wait(self):
+        """Block until every queued checkpoint is durably on disk."""
+        self._q.join()
+        self._raise_pending()
+
+    def close(self):
+        self.wait()
+        self._q.put(None)
+        self._thread.join()

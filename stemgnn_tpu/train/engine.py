@@ -371,6 +371,28 @@ def train(
 
     performance_metrics: Dict = {}
     n_windows = len(train_set)
+    saver = ckpt.AsyncCheckpointer() if cfg.ckpt_async else None
+    try:
+        performance_metrics = _train_epochs(
+            cfg, mcfg, params, opt_state, data_dev, train_set, valid_set,
+            normalize_statistic, node_cnt, result_file, logger, shuffle_rng,
+            key, start_epoch, best_validate_mae,
+            validate_score_non_decrease_count, train_step, epoch_fn,
+            eval_step, eval_epoch_fn, n_windows, saver,
+        )
+    finally:
+        if saver is not None:
+            saver.close()  # every queued checkpoint durable before return
+    return performance_metrics, normalize_statistic
+
+
+def _train_epochs(
+    cfg, mcfg, params, opt_state, data_dev, train_set, valid_set,
+    normalize_statistic, node_cnt, result_file, logger, shuffle_rng, key,
+    start_epoch, best_validate_mae, validate_score_non_decrease_count,
+    train_step, epoch_fn, eval_step, eval_epoch_fn, n_windows, saver,
+) -> Dict:
+    performance_metrics: Dict = {}
     for epoch in range(start_epoch, cfg.epoch):
         lr = decayed_lr(cfg.lr, epoch, cfg.exponential_decay_step, cfg.decay_rate)
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
@@ -421,7 +443,14 @@ def train(
         }
         if meta["best_validate_mae"] is None:
             meta["best_validate_mae"] = float("inf")
-        ckpt.save(result_file, params, opt_state, epoch=epoch, meta=meta)
+        # per-epoch checkpoint (handler.py:169), at the configured cadence;
+        # async mode snapshots on device and lets the worker thread do the
+        # transfer + write while the next epoch runs (ROADMAP item 2)
+        if (epoch + 1) % cfg.ckpt_every == 0 or epoch == cfg.epoch - 1:
+            if saver is not None:
+                saver.submit(result_file, params, opt_state, epoch=epoch, meta=meta)
+            else:
+                ckpt.save(result_file, params, opt_state, epoch=epoch, meta=meta)
         logger.log(
             {
                 "event": "epoch",
@@ -455,14 +484,17 @@ def train(
             else:
                 validate_score_non_decrease_count += 1
             if is_best_for_now:
-                ckpt.save(result_file, params, opt_state, meta=meta)
+                if saver is not None:
+                    saver.submit(result_file, params, opt_state, meta=meta)
+                else:
+                    ckpt.save(result_file, params, opt_state, meta=meta)
             logger.log({"event": "validate", "epoch": epoch, **{
                 k: (v.tolist() if isinstance(v, np.ndarray) else float(v))
                 for k, v in performance_metrics.items()
             }})
         if cfg.early_stop and validate_score_non_decrease_count >= cfg.early_stop_step:
             break
-    return performance_metrics, normalize_statistic
+    return performance_metrics
 
 
 def test(

@@ -30,6 +30,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running fixtures (multi-process mesh, e2e)"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -1,0 +1,63 @@
+"""Multi-host (multi-process) fixture: 2 CPU processes x 4 virtual devices
+each form the same 8-device ('data','graph') mesh as the in-process tests,
+with gloo collectives across the process boundary (the CPU stand-in for
+DCN). Asserts the SPMD train step computes the identical loss in every
+process and matches a single-process golden (SURVEY.md §4 "distributed
+tests without a cluster"; ROADMAP item 5)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_mesh_matches_single_process():
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(port)],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    losses = {}
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                _, pid, loss = line.split()
+                losses[int(pid)] = float(loss)
+    assert set(losses) == {0, 1}, losses
+    # both processes of one SPMD program must agree exactly
+    assert losses[0] == losses[1]
+
+    # single-process golden on the in-process 8-device mesh
+    import jax
+    from jax.sharding import Mesh
+
+    from tests.multihost_worker import run_step
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "graph"))
+    golden = run_step(mesh)
+    np.testing.assert_allclose(losses[0], golden, rtol=1e-6)

@@ -163,3 +163,42 @@ def test_empty_data_raises(tiny_cfg):
         engine.train(np.zeros((0, 4)), np.ones((50, 4)), tiny_cfg, None)
     with pytest.raises(Exception, match="Cannot organize enough validation data"):
         engine.train(np.ones((50, 4)), np.zeros((0, 4)), tiny_cfg, None)
+
+
+def test_async_checkpointer_snapshots_before_mutation(tmp_path):
+    """AsyncCheckpointer must copy the pytree at submit time: later in-place
+    donation/mutation of the live params must not leak into the file."""
+    import jax.numpy as jnp
+
+    out = str(tmp_path)
+    params = {"w": jnp.arange(4.0)}
+    saver = ckpt.AsyncCheckpointer()
+    saver.submit(out, params, epoch=0, meta={"epoch": 0})
+    params["w"] = params["w"] * 0.0  # simulates the next step's donation
+    saver.close()
+    restored, _, meta = ckpt.load(out, {"w": jnp.zeros(4)}, epoch=0)
+    np.testing.assert_allclose(np.asarray(restored["w"]), [0.0, 1.0, 2.0, 3.0])
+    assert meta["epoch"] == 0
+
+
+def test_ckpt_cadence(tmp_path_factory, tiny_data):
+    """ckpt_every=2 writes epochs 1, 3 (and always the final epoch)."""
+    train_data, valid_data, _ = _split(tiny_data)
+    out = str(tmp_path_factory.mktemp("cadence"))
+    cfg = TrainConfig(
+        dataset="tiny", window_size=8, horizon=3, epoch=4, batch_size=16,
+        multi_layer=2, validate_freq=4, lr=1e-3, ckpt_every=2,
+    )
+    engine.train(train_data, valid_data, cfg, out)
+    present = {e for e in range(4) if os.path.exists(os.path.join(out, f"{e}_stemgnn.ckpt"))}
+    assert present == {1, 3}
+
+
+def test_sync_ckpt_mode_equivalent(tmp_path_factory, tiny_cfg, tiny_data):
+    """ckpt_async=False writes the same files through the blocking path."""
+    train_data, valid_data, _ = _split(tiny_data)
+    out = str(tmp_path_factory.mktemp("sync_ckpt"))
+    cfg = dataclasses.replace(tiny_cfg, ckpt_async=False, epoch=1)
+    engine.train(train_data, valid_data, cfg, out)
+    assert os.path.exists(os.path.join(out, "0_stemgnn.ckpt"))
+    assert os.path.exists(os.path.join(out, "_stemgnn.ckpt"))
