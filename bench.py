@@ -24,41 +24,55 @@ import numpy as np
 
 from stemgnn_tpu.config import StemGNNConfig
 from stemgnn_tpu.models import stemgnn
-from stemgnn_tpu.train.engine import make_train_step
+from stemgnn_tpu.train.engine import CHUNK_STEPS, make_epoch_fn
 from stemgnn_tpu.train.optim import make_optimizer
 
 BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline.json")
 
 
-def measure(batch=32, steps=100, warmup=10, use_pallas=False, precision="float32",
+def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float32",
             n_nodes=140, window=12, horizon=3, multi=5, seed=0, sparse_k=None):
+    """Steady-state train-step time through the engine's scan-chunked epoch
+    program (the path real training runs: CHUNK_STEPS batches per device
+    dispatch, train/engine.py). Per-step host dispatch is NOT the production
+    path — and the tunneled axon transport wedges when >~30 single-step
+    dispatches queue up — so the bench times whole chunks and divides.
+    `steps` rounds down to a multiple of CHUNK_STEPS (min 1 chunk)."""
     cfg = StemGNNConfig(units=n_nodes, window_size=window, horizon=horizon,
                         multi_layer=multi, sparse_k=sparse_k)
     params = stemgnn.init_params(jax.random.PRNGKey(seed), cfg)
     opt = make_optimizer("RMSProp", 1e-4)
     opt_state = opt.init(params)
-    step_fn = make_train_step(cfg, opt, use_pallas, precision)
+    epoch_fn = make_epoch_fn(cfg, opt, use_pallas, precision)
 
+    n_chunks = max(1, steps // CHUNK_STEPS)
+    steps = n_chunks * CHUNK_STEPS
     rng = np.random.default_rng(seed)
     t_len = 4096
     data = jnp.asarray(rng.standard_normal((t_len, n_nodes)), dtype=jnp.float32)
     his = [
-        jnp.asarray(rng.integers(window, t_len - horizon, size=batch), dtype=jnp.int32)
-        for _ in range(warmup + steps)
+        jnp.asarray(
+            rng.integers(window, t_len - horizon, size=(CHUNK_STEPS, batch)),
+            dtype=jnp.int32,
+        )
+        for _ in range(1 + n_chunks)
     ]
-    key = jax.random.PRNGKey(seed)
-    keys = jax.random.split(key, warmup + steps)
+    keys = jax.random.split(jax.random.PRNGKey(seed), 1 + n_chunks)
 
-    for i in range(warmup):
-        params, opt_state, loss = step_fn(params, opt_state, data, his[i], keys[i])
-    float(loss)  # real materialization — on the tunneled axon backend,
+    # warmup: one chunk (compile + cache warm)
+    params, opt_state, losses = epoch_fn(
+        params, opt_state, data, his[0], jax.random.split(keys[0], CHUNK_STEPS)
+    )
+    float(losses[-1])  # real materialization — on the tunneled axon backend,
     # block_until_ready can return before remote execution finishes, so
     # timings must be closed with a value transfer
 
     t0 = time.perf_counter()
-    for i in range(warmup, warmup + steps):
-        params, opt_state, loss = step_fn(params, opt_state, data, his[i], keys[i])
-    final_loss = float(loss)  # forces the whole donated chain
+    for i in range(1, 1 + n_chunks):
+        params, opt_state, losses = epoch_fn(
+            params, opt_state, data, his[i], jax.random.split(keys[i], CHUNK_STEPS)
+        )
+    final_loss = float(losses[-1])  # forces the whole donated chain
     elapsed = time.perf_counter() - t0
 
     step_time = elapsed / steps
