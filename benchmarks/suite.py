@@ -57,8 +57,9 @@ VARIANTS = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--warmup", type=int, default=5)
+    # steps round DOWN to whole scan chunks, warmup rounds UP (bench.measure)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--warmup", type=int, default=16)
     ap.add_argument("--configs", type=str, default="ECG,PEMS07,PEMS03,COVID-19")
     ap.add_argument("--variants", type=str, default="jnp_f32,pallas_f32,jnp_bf16")
     ap.add_argument("--large", action="store_true", help="include synthetic large-N configs")

@@ -28,13 +28,29 @@ args = parser.parse_args()
 cfg = config_from_args(args)
 print(f"Training configs: {cfg}")
 
+import jax
+
+if cfg.device == "cpu":
+    # reference default is cpu (main.py:21); the image force-registers the
+    # TPU platform, so honoring --device cpu needs an explicit override
+    jax.config.update("jax_platforms", "cpu")
+
 if cfg.debug_nans:
     # sanitizer mode (SURVEY.md section 5: the JAX analogue of a runtime
     # race/NaN sanitizer): every op output is checked, first NaN raises
     # with the offending primitive
-    import jax
-
     jax.config.update("jax_debug_nans", True)
+
+if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    # multi-host SPMD (SURVEY.md section 5 "distributed backend"): every
+    # process runs this same program; the ('data','graph') mesh built by
+    # the engine then spans all hosts' devices (ICI intra-slice, DCN
+    # across slices). Single-host runs never enter this branch.
+    jax.distributed.initialize(
+        coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+        num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+        process_id=int(os.environ["JAX_PROCESS_ID"]),
+    )
 
 data_file = ensure_dataset(cfg.dataset, cfg.data_dir)
 result_train_file = os.path.join(cfg.output_dir, cfg.dataset, "train")

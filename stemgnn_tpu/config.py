@@ -76,7 +76,8 @@ class TrainConfig:
     use_pallas: bool = False  # route hot ops through Pallas kernels
     data_axis: int = 1  # mesh size along 'data' (DP)
     graph_axis: int = 1  # mesh size along 'graph' (node-block partition)
-    param_dtype: str = "float32"
+    use_ring: bool = False  # explicit ppermute ring attention over 'graph'
+    param_dtype: str = "float32"  # parameter storage dtype (cast after init)
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native speed
     resume: bool = False  # restore params+opt state+epoch from last checkpoint
     ckpt_every: int = 1  # per-epoch checkpoint cadence (reference: every epoch)

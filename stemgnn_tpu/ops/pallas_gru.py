@@ -15,11 +15,14 @@ projection block HBM->VMEM while the previous step computes. The input
 projection itself (x @ W_ih + b_ih, parallel over all N steps) stays in
 XLA as one big MXU matmul.
 
-Backward: custom_vjp with a second Pallas kernel running the grid in
-REVERSE (index maps flip the time axis), carrying dh in VMEM scratch and
-emitting per-step gate gradients [dr, dz, dn, d(hpn)]; the weight/bias
-gradients are then single XLA einsums over the saved forward states (no
-accumulator outputs in the kernel, better MXU shapes).
+Backward (v2): the forward EMITS its gate activations
+(r, z, hpn, c, h_prev - c) as a second output, so the reverse-grid
+backward kernel is pure elementwise math plus the three unavoidable
+dgate @ A_g^T matmuls on the dh critical path — no gate-recompute
+matmuls (halves the backward's MXU work: 6 -> 3 dots/step) and no
+streamed h / previous-block inputs at all. Weight/bias gradients are
+single XLA einsums over the saved forward states (better MXU shapes
+than per-step accumulators).
 
 Gate math (torch GRU, gate order r,z,n — matches models/stemgnn.py):
     r = sigmoid(x_r + h @ A_r + b_r)
@@ -28,9 +31,10 @@ Gate math (torch GRU, gate order r,z,n — matches models/stemgnn.py):
     c = tanh(x_n + r * hpn)
     h' = (1 - z) * c + z * h
 
-VMEM budget: weights 3*N*N*4 bytes must fit on-chip — the dispatch in
-models/stemgnn.py uses this kernel for N <= MAX_UNITS and falls back to
-the lax.scan twin above that (the sparse stretch path keeps its own).
+VMEM budget: weights 3*N*N fp32 + the double-buffered per-step blocks
+must fit in ~16 MB — the dispatch in ops/__init__.py uses this kernel
+for N <= MAX_UNITS and falls back to the lax.scan twin above that (the
+sparse stretch path keeps its own).
 """
 
 from __future__ import annotations
@@ -51,6 +55,8 @@ MAX_UNITS = 512
 # nothing reads, and in the backward the padded cotangents are zero so
 # the dh carry stays exact (see _vjp_bwd).
 UNROLL = 8
+# saved forward activations per step: r, z, hpn, c, (h_prev - c)
+N_SAVED = 5
 
 
 def _dot(a, b):
@@ -65,7 +71,7 @@ def _dot_t(a, b):
     )
 
 
-def _fwd_kernel(xp_ref, a_ref, b_ref, out_ref, h_ref):
+def _fwd_kernel(xp_ref, a_ref, b_ref, out_ref, sv_ref, h_ref):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -79,45 +85,36 @@ def _fwd_kernel(xp_ref, a_ref, b_ref, out_ref, h_ref):
         z = jax.nn.sigmoid(xp[1] + _dot(h, a_ref[1]) + b_ref[1])
         hpn = _dot(h, a_ref[2]) + b_ref[2]
         c = jnp.tanh(xp[2] + r * hpn)
+        sv_ref[u, 0] = r
+        sv_ref[u, 1] = z
+        sv_ref[u, 2] = hpn
+        sv_ref[u, 3] = c
+        sv_ref[u, 4] = h - c  # (h_prev - c), what the z-gradient needs
         h = (1.0 - z) * c + z * h
         out_ref[u] = h
     h_ref[:] = h
 
 
-def _bwd_kernel(xp_ref, hs_ref, hsprev_ref, g_ref, a_ref, b_ref, dxp_ref, dh_ref):
+def _bwd_kernel(sv_ref, g_ref, a_ref, dxp_ref, dh_ref):
+    """Reverse-grid backward over the saved activations — zero matmuls
+    off the dh critical path."""
     t = pl.program_id(0)
-    n_blocks = pl.num_programs(0)
-    u_steps = xp_ref.shape[0]
 
     @pl.when(t == 0)  # reversed grid: first iteration is the LAST time block
     def _():
         dh_ref[:] = jnp.zeros_like(dh_ref)
 
     dh = dh_ref[:]
-    for u in reversed(range(u_steps)):
-        if u > 0:
-            h_prev = hs_ref[u - 1]
-        else:
-            # last element of the previous time block; zeros at step 0
-            # (t == n_blocks-1 is block 0 of the reversed grid)
-            h_prev = jnp.where(t == n_blocks - 1, 0.0, hsprev_ref[u_steps - 1])
-        xp = xp_ref[u]
-        # recompute the gates (cheaper than saving 4 activations per step)
-        r = jax.nn.sigmoid(xp[0] + _dot(h_prev, a_ref[0]) + b_ref[0])
-        z = jax.nn.sigmoid(xp[1] + _dot(h_prev, a_ref[1]) + b_ref[1])
-        hpn = _dot(h_prev, a_ref[2]) + b_ref[2]
-        c = jnp.tanh(xp[2] + r * hpn)
-
+    for u in reversed(range(sv_ref.shape[0])):
+        r, z, hpn, c, hmc = (sv_ref[u, i] for i in range(N_SAVED))
         dh_total = g_ref[u] + dh
-        dz = dh_total * (h_prev - c) * z * (1.0 - z)
+        dz = dh_total * hmc * z * (1.0 - z)
         dn = dh_total * (1.0 - z) * (1.0 - c * c)
         dhpn = dn * r
         dr = dn * hpn * r * (1.0 - r)
-
         dxp_ref[u, 0] = dr
         dxp_ref[u, 1] = dz
         dxp_ref[u, 2] = dn
-        dxp_ref[u, 3] = dhpn
         dh = (
             dh_total * z + _dot_t(dr, a_ref[0]) + _dot_t(dz, a_ref[1])
             + _dot_t(dhpn, a_ref[2])
@@ -141,7 +138,7 @@ def _run_forward(x_proj, a3, bh3):
     n, _, b, nh = x_proj.shape
     n_pad = -(-n // UNROLL) * UNROLL
     xp = _pad_time(x_proj, n_pad)
-    hs = pl.pallas_call(
+    hs, saved = pl.pallas_call(
         _fwd_kernel,
         grid=(n_pad // UNROLL,),
         in_specs=[
@@ -150,17 +147,24 @@ def _run_forward(x_proj, a3, bh3):
             _full(a3.shape),
             _full(bh3.shape),
         ],
-        out_specs=pl.BlockSpec((UNROLL, b, nh), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, b, nh), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((UNROLL, b, nh), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((UNROLL, N_SAVED, b, nh), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, b, nh), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, N_SAVED, b, nh), jnp.float32),
+        ],
         scratch_shapes=[pltpu.VMEM((b, nh), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * 3 * b * nh * nh,
-            bytes_accessed=4 * n_pad * b * nh * 4 + 4 * 3 * nh * nh,
+            bytes_accessed=4 * n_pad * b * nh * (4 + N_SAVED) + 4 * 3 * nh * nh,
             transcendentals=3 * n_pad * b * nh,
         ),
     )(xp, a3, bh3)
-    return hs[:n]
+    return hs[:n], saved[:n]
 
 
 @functools.partial(jax.custom_vjp)
@@ -172,56 +176,52 @@ def gru_scan_pallas(x_proj, a3, bh3):
     bh3:    [3, 1, H] recurrent biases.
     Returns hs [N, B, H] — the full output sequence.
     """
-    return _run_forward(x_proj, a3, bh3)
+    hs, _ = _run_forward(x_proj, a3, bh3)
+    return hs
 
 
 def _vjp_fwd(x_proj, a3, bh3):
-    hs = _run_forward(x_proj, a3, bh3)
-    return hs, (x_proj, a3, bh3, hs)
+    hs, saved = _run_forward(x_proj, a3, bh3)
+    return hs, (a3, hs, saved)
 
 
 def _vjp_bwd(res, g):
-    x_proj, a3, bh3, hs = res
-    n, _, b, nh = x_proj.shape
+    a3, hs, saved = res
+    n, b, nh = hs.shape
     n_pad = -(-n // UNROLL) * UNROLL
     nb = n_pad // UNROLL
-    xp = _pad_time(x_proj, n_pad)
-    hs_p = _pad_time(hs, n_pad)
+    sv_p = _pad_time(saved, n_pad)
     g_p = _pad_time(g, n_pad)  # zero cotangents keep the padded dh exact
+    # padded saved slots are zeros -> z=0 -> dh carries through unchanged
     rev4 = lambda t: (nb - 1 - t, 0, 0, 0)
     rev3 = lambda t: (nb - 1 - t, 0, 0)
-    dxp4 = pl.pallas_call(
+    dxp = pl.pallas_call(
         _bwd_kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((UNROLL, 3, b, nh), rev4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((UNROLL, b, nh), rev3, memory_space=pltpu.VMEM),
-            # previous-in-time block (its last element is h_{s-1} for the
-            # block's first step); clamped at 0 — the t == nb-1 iteration
-            # overrides it with zeros in-kernel
-            pl.BlockSpec((UNROLL, b, nh),
-                         lambda t: (jnp.maximum(nb - 2 - t, 0), 0, 0),
+            pl.BlockSpec((UNROLL, N_SAVED, b, nh), rev4,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((UNROLL, b, nh), rev3, memory_space=pltpu.VMEM),
             _full(a3.shape),
-            _full(bh3.shape),
         ],
-        out_specs=pl.BlockSpec((UNROLL, 4, b, nh), rev4,
+        out_specs=pl.BlockSpec((UNROLL, 3, b, nh), rev4,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 4, b, nh), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 3, b, nh), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b, nh), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * 6 * b * nh * nh,
-            bytes_accessed=4 * n_pad * b * nh * 9 + 4 * 3 * nh * nh,
-            transcendentals=3 * n_pad * b * nh,
+            flops=2 * n_pad * 3 * b * nh * nh,
+            bytes_accessed=4 * n_pad * b * nh * (N_SAVED + 4) + 4 * 3 * nh * nh,
+            transcendentals=0,
         ),
-    )(xp, hs_p, hs_p, g_p, a3, bh3)[:n]
+    )(sv_p, g_p, a3)[:n]
 
-    dx_proj = dxp4[:, :3]
+    dx_proj = dxp  # (dr, dz, dn) feed x_r, x_z, x_n directly
     # weight/bias grads as single XLA contractions over the saved states:
-    # dA_g = sum_t h_{t-1}^T @ dgate_t, with dgate = (dr, dz, dhpn)
+    # dA_g = sum_t h_{t-1}^T @ dgate_t, with dgate = (dr, dz, dhpn=dn*r)
     h_prev_seq = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
-    dgates = jnp.stack([dxp4[:, 0], dxp4[:, 1], dxp4[:, 3]], axis=0)  # [3,N,B,H]
+    dgates = jnp.stack(
+        [dxp[:, 0], dxp[:, 1], dxp[:, 2] * saved[:, 0]], axis=0
+    )  # [3, N, B, H]
     da3 = jnp.einsum("tbi,gtbj->gij", h_prev_seq, dgates)
     dbh3 = jnp.sum(dgates, axis=(1, 2))[:, None, :]  # [3, 1, H]
     return dx_proj, da3, dbh3

@@ -184,6 +184,10 @@ class AsyncCheckpointer:
         self._raise_pending()
 
     def close(self):
-        self.wait()
+        """Drain the queue, stop the worker, then surface any pending I/O
+        error — the sentinel is enqueued and the thread joined FIRST so a
+        failed write never abandons a live worker thread."""
+        self._q.join()
         self._q.put(None)
         self._thread.join()
+        self._raise_pending()

@@ -31,13 +31,35 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from stemgnn_tpu.config import StemGNNConfig, TrainConfig
 from stemgnn_tpu.data.pipeline import WindowDataset, compute_norm_stats, de_normalized
 from stemgnn_tpu.metrics import evaluate
 from stemgnn_tpu.models import stemgnn
+from stemgnn_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from stemgnn_tpu.train import checkpoint as ckpt
 from stemgnn_tpu.train.optim import decayed_lr, make_optimizer
 from stemgnn_tpu.utils.logging import JsonlLogger
+
+
+def build_mesh(cfg: TrainConfig):
+    """The production ('data','graph') mesh from --data_axis/--graph_axis.
+
+    Returns None for the 1x1 default (single-device path, no resharding
+    overhead). No reference counterpart (SURVEY.md section 2e): the
+    reference is strictly single-process/single-device.
+    """
+    if cfg.data_axis * cfg.graph_axis <= 1:
+        return None
+    return make_mesh(cfg.data_axis, cfg.graph_axis)
+
+
+def _shardings(mesh, *specs):
+    """jit in/out_shardings tuple for `specs`, or None off-mesh."""
+    if mesh is None:
+        return None
+    return tuple(NamedSharding(mesh, s) for s in specs)
 
 
 # ---------------------------------------------------------------------------
@@ -56,10 +78,27 @@ def gather_windows(data, hi, window_size: int, horizon: int):
     return data[x_idx], data[y_idx]
 
 
-def make_train_step(mcfg: StemGNNConfig, opt, use_pallas: bool, precision: str = "float32"):
+def make_train_step(
+    mcfg: StemGNNConfig, opt, use_pallas: bool, precision: str = "float32",
+    mesh=None, use_ring: bool = False, shard_batch: bool = True,
+):
+    """One jitted train step. With a mesh: `hi` (the [B] window-index
+    vector) is sharded over 'data' (DP — XLA psums the grads), the model
+    internals are node-partitioned over 'graph' via the sharding
+    constraints inside stemgnn.forward, and params/opt state stay
+    replicated. `shard_batch=False` keeps the batch replicated (used for
+    trailing partial batches whose size doesn't divide the data axis).
+    """
     w, h = mcfg.window_size, mcfg.horizon
+    batch_spec = P(DATA_AXIS) if shard_batch else P()
+    jit_kw = {}
+    if mesh is not None:
+        jit_kw = dict(
+            in_shardings=_shardings(mesh, P(), P(), P(), batch_spec, P()),
+            out_shardings=_shardings(mesh, P(), P(), P()),
+        )
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    @partial(jax.jit, donate_argnums=(0, 1), **jit_kw)
     def train_step(params, opt_state, data, hi, rng):
         x, y = gather_windows(data, hi, w, h)
 
@@ -67,6 +106,7 @@ def make_train_step(mcfg: StemGNNConfig, opt, use_pallas: bool, precision: str =
             forecast, _ = stemgnn.forward(
                 p, mcfg, x, training=True, dropout_rng=rng,
                 use_pallas=use_pallas, precision=precision,
+                mesh=mesh, use_ring=use_ring,
             )
             return jnp.mean((forecast - y) ** 2)  # nn.MSELoss (handler.py:140)
 
@@ -86,7 +126,10 @@ CHUNK_SIZES = (64, 16, 4)
 CHUNK_STEPS = CHUNK_SIZES[1]  # back-compat for tests/bench
 
 
-def make_epoch_fn(mcfg: StemGNNConfig, opt, use_pallas: bool, precision: str = "float32"):
+def make_epoch_fn(
+    mcfg: StemGNNConfig, opt, use_pallas: bool, precision: str = "float32",
+    mesh=None, use_ring: bool = False, shard_batch: bool = True,
+):
     """An n-batch training chunk as ONE device program (`lax.scan` over
     batches) — TPU-first replacement for the reference's per-batch host
     loop (handler.py:157-166). The scan length comes from hi_matrix's
@@ -94,11 +137,20 @@ def make_epoch_fn(mcfg: StemGNNConfig, opt, use_pallas: bool, precision: str = "
     specializes per shape).
 
     hi_matrix: [n, B] window end indices; rngs: [n] dropout keys.
+    With a mesh the B axis of hi_matrix is sharded over 'data' and the
+    model internals over 'graph' (same SPMD program scanned n times).
     Returns (params, opt_state, per-batch losses).
     """
     w, h = mcfg.window_size, mcfg.horizon
+    batch_spec = P(None, DATA_AXIS) if shard_batch else P()
+    jit_kw = {}
+    if mesh is not None:
+        jit_kw = dict(
+            in_shardings=_shardings(mesh, P(), P(), P(), batch_spec, P()),
+            out_shardings=_shardings(mesh, P(), P(), P()),
+        )
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    @partial(jax.jit, donate_argnums=(0, 1), **jit_kw)
     def epoch_fn(params, opt_state, data, hi_matrix, rngs):
         def body(carry, inp):
             params, opt_state = carry
@@ -109,6 +161,7 @@ def make_epoch_fn(mcfg: StemGNNConfig, opt, use_pallas: bool, precision: str = "
                 forecast, _ = stemgnn.forward(
                     p, mcfg, x, training=True, dropout_rng=rng,
                     use_pallas=use_pallas, precision=precision,
+                    mesh=mesh, use_ring=use_ring,
                 )
                 return jnp.mean((forecast - y) ** 2)
 
@@ -125,18 +178,35 @@ def make_epoch_fn(mcfg: StemGNNConfig, opt, use_pallas: bool, precision: str = "
     return epoch_fn
 
 
-def make_eval_step(mcfg: StemGNNConfig, use_pallas: bool, precision: str = "float32"):
-    @jax.jit
+def make_eval_step(
+    mcfg: StemGNNConfig, use_pallas: bool, precision: str = "float32", mesh=None,
+):
+    """Single-batch eval step. With a mesh the input batch stays
+    replicated (it also serves trailing partial batches of any size) and
+    the model internals are node-partitioned over 'graph'; the batched
+    scan path (make_eval_epoch_fn) is the one that shards over 'data'."""
+    jit_kw = {}
+    if mesh is not None:
+        jit_kw = dict(
+            in_shardings=_shardings(mesh, P(), P()),
+            out_shardings=_shardings(mesh, P())[0],
+        )
+
+    @partial(jax.jit, **jit_kw)
     def eval_step(params, x):
         forecast, _ = stemgnn.forward(
-            params, mcfg, x, training=False, use_pallas=use_pallas, precision=precision
+            params, mcfg, x, training=False, use_pallas=use_pallas,
+            precision=precision, mesh=mesh,
         )
         return forecast
 
     return eval_step
 
 
-def make_eval_epoch_fn(mcfg: StemGNNConfig, use_pallas: bool, precision: str = "float32"):
+def make_eval_epoch_fn(
+    mcfg: StemGNNConfig, use_pallas: bool, precision: str = "float32",
+    mesh=None, shard_batch: bool = True,
+):
     """All full eval batches as ONE device program (lax.scan over batches).
 
     The reference's per-batch eval loop costs one host<->device round trip
@@ -147,16 +217,25 @@ def make_eval_epoch_fn(mcfg: StemGNNConfig, use_pallas: bool, precision: str = "
     does); the general splice path stays in `inference()`.
 
     hi_matrix: [n_batches, B]. Returns (forecasts [n,B,h,N], targets).
+    With a mesh the B axis is sharded over 'data' (sharded eval — no
+    per-batch host loop on a mesh either; VERDICT r1 item 7).
     """
     w, h = mcfg.window_size, mcfg.horizon
+    batch_spec = P(None, DATA_AXIS) if shard_batch else P()
+    jit_kw = {}
+    if mesh is not None:
+        jit_kw = dict(
+            in_shardings=_shardings(mesh, P(), P(), batch_spec),
+            out_shardings=_shardings(mesh, P(), P()),
+        )
 
-    @jax.jit
+    @partial(jax.jit, **jit_kw)
     def eval_epoch(params, data, hi_matrix):
         def body(_, hi):
             x, y = gather_windows(data, hi, w, h)
             f, _ = stemgnn.forward(
                 params, mcfg, x, training=False,
-                use_pallas=use_pallas, precision=precision,
+                use_pallas=use_pallas, precision=precision, mesh=mesh,
             )
             return None, (f, y)
 
@@ -326,6 +405,8 @@ def train(
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)
     params = stemgnn.init_params(init_key, mcfg)
+    if cfg.param_dtype != "float32":
+        params = jax.tree.map(lambda a: a.astype(cfg.param_dtype), params)
 
     opt = make_optimizer(cfg.optimizer, cfg.lr)
     opt_state = opt.init(params)
@@ -343,10 +424,35 @@ def train(
     print(f"Total Trainable Params: {total_params}")
 
     precision = "bfloat16" if cfg.compute_dtype == "bfloat16" else "float32"
-    train_step = make_train_step(mcfg, opt, cfg.use_pallas, precision)
-    epoch_fn = make_epoch_fn(mcfg, opt, cfg.use_pallas, precision)
-    eval_step = make_eval_step(mcfg, cfg.use_pallas, precision)
-    eval_epoch_fn = make_eval_epoch_fn(mcfg, cfg.use_pallas, precision)
+    mesh = build_mesh(cfg)
+    use_ring = cfg.use_ring and mesh is not None and cfg.graph_axis > 1
+    # batches can only be sharded over 'data' if their size divides evenly
+    shard_batch = mesh is not None and cfg.batch_size % cfg.data_axis == 0
+    if mesh is not None:
+        print(f"mesh: data={cfg.data_axis} graph={cfg.graph_axis} "
+              f"devices={mesh.size} batch_sharded={shard_batch} ring={use_ring}")
+        if not shard_batch:
+            print(f"WARNING: batch_size {cfg.batch_size} not divisible by "
+                  f"data_axis {cfg.data_axis}; batches stay replicated "
+                  f"(node-block graph partition still active)")
+    train_step = make_train_step(
+        mcfg, opt, cfg.use_pallas, precision,
+        mesh=mesh, use_ring=use_ring, shard_batch=shard_batch,
+    )
+    # trailing partial batches have arbitrary size: batch kept replicated
+    train_step_tail = (
+        make_train_step(mcfg, opt, cfg.use_pallas, precision,
+                        mesh=mesh, use_ring=use_ring, shard_batch=False)
+        if shard_batch else train_step
+    )
+    epoch_fn = make_epoch_fn(
+        mcfg, opt, cfg.use_pallas, precision,
+        mesh=mesh, use_ring=use_ring, shard_batch=shard_batch,
+    )
+    eval_step = make_eval_step(mcfg, cfg.use_pallas, precision, mesh=mesh)
+    eval_epoch_fn = make_eval_epoch_fn(
+        mcfg, cfg.use_pallas, precision, mesh=mesh, shard_batch=shard_batch,
+    )
     data_dev = jnp.asarray(train_set.data)
 
     logger = JsonlLogger(
@@ -379,10 +485,23 @@ def train(
             key, start_epoch, best_validate_mae,
             validate_score_non_decrease_count, train_step, epoch_fn,
             eval_step, eval_epoch_fn, n_windows, saver,
+            train_step_tail=train_step_tail,
         )
     finally:
         if saver is not None:
-            saver.close()  # every queued checkpoint durable before return
+            # every queued checkpoint durable before return; a checkpoint
+            # I/O failure must not mask an in-flight training exception
+            import sys
+
+            training_exc = sys.exc_info()[1]
+            try:
+                saver.close()
+            except BaseException as ckpt_err:
+                if training_exc is not None:
+                    print(f"WARNING: async checkpoint write also failed "
+                          f"during shutdown: {ckpt_err!r}")
+                else:
+                    raise
     return performance_metrics, normalize_statistic
 
 
@@ -391,7 +510,10 @@ def _train_epochs(
     normalize_statistic, node_cnt, result_file, logger, shuffle_rng, key,
     start_epoch, best_validate_mae, validate_score_non_decrease_count,
     train_step, epoch_fn, eval_step, eval_epoch_fn, n_windows, saver,
+    train_step_tail=None,
 ) -> Dict:
+    if train_step_tail is None:
+        train_step_tail = train_step
     performance_metrics: Dict = {}
     for epoch in range(start_epoch, cfg.epoch):
         lr = decayed_lr(cfg.lr, epoch, cfg.exponential_decay_step, cfg.decay_rate)
@@ -419,7 +541,8 @@ def _train_epochs(
                 losses.append(chunk_losses)
                 lo += size
         for j in range(lo, cnt):  # leftover full + remainder partial batch
-            params, opt_state, loss = train_step(
+            step = train_step if j < n_full else train_step_tail
+            params, opt_state, loss = step(
                 params, opt_state, data_dev, jnp.asarray(batches[j]), step_keys[j]
             )
             losses.append(loss[None])
@@ -493,6 +616,13 @@ def _train_epochs(
                 for k, v in performance_metrics.items()
             }})
         if cfg.early_stop and validate_score_non_decrease_count >= cfg.early_stop_step:
+            # backstop: with ckpt_every > 1 this epoch may not have been
+            # checkpointed yet — write it so --resume sees the final state
+            if (epoch + 1) % cfg.ckpt_every != 0 and epoch != cfg.epoch - 1:
+                if saver is not None:
+                    saver.submit(result_file, params, opt_state, epoch=epoch, meta=meta)
+                else:
+                    ckpt.save(result_file, params, opt_state, epoch=epoch, meta=meta)
             break
     return performance_metrics
 
@@ -516,8 +646,12 @@ def test(
         test_data, cfg.window_size, cfg.horizon, cfg.norm_method, normalize_statistic
     )
     precision = "bfloat16" if cfg.compute_dtype == "bfloat16" else "float32"
-    eval_step = make_eval_step(mcfg, cfg.use_pallas, precision)
-    eval_epoch_fn = make_eval_epoch_fn(mcfg, cfg.use_pallas, precision)
+    mesh = build_mesh(cfg)
+    shard_batch = mesh is not None and cfg.batch_size % cfg.data_axis == 0
+    eval_step = make_eval_step(mcfg, cfg.use_pallas, precision, mesh=mesh)
+    eval_epoch_fn = make_eval_epoch_fn(
+        mcfg, cfg.use_pallas, precision, mesh=mesh, shard_batch=shard_batch,
+    )
     performance_metrics = validate(
         eval_step,
         params,

@@ -4,6 +4,7 @@ loss-curve determinism + checkpoint/norm-stat file contract)."""
 import dataclasses
 import json
 import os
+from functools import partial
 
 import numpy as np
 import pytest
@@ -166,19 +167,43 @@ def test_empty_data_raises(tiny_cfg):
 
 
 def test_async_checkpointer_snapshots_before_mutation(tmp_path):
-    """AsyncCheckpointer must copy the pytree at submit time: later in-place
-    donation/mutation of the live params must not leak into the file."""
+    """AsyncCheckpointer must copy the pytree at submit time: running a
+    DONATING jitted step on the submitted params afterwards (the real
+    hazard — the trainer donates its buffers to the next step) must not
+    leak into the checkpoint file."""
+    import jax
     import jax.numpy as jnp
 
     out = str(tmp_path)
     params = {"w": jnp.arange(4.0)}
     saver = ckpt.AsyncCheckpointer()
     saver.submit(out, params, epoch=0, meta={"epoch": 0})
-    params["w"] = params["w"] * 0.0  # simulates the next step's donation
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def donating_step(p):
+        return jax.tree.map(lambda a: a * 0.0, p)
+
+    params = donating_step(params)  # invalidates the submitted buffers
+    np.testing.assert_allclose(np.asarray(params["w"]), 0.0)
     saver.close()
     restored, _, meta = ckpt.load(out, {"w": jnp.zeros(4)}, epoch=0)
     np.testing.assert_allclose(np.asarray(restored["w"]), [0.0, 1.0, 2.0, 3.0])
     assert meta["epoch"] == 0
+
+
+def test_async_checkpointer_close_surfaces_error_and_joins(tmp_path):
+    """A failing write must raise from close() AND leave the worker thread
+    stopped (the sentinel is enqueued before raising — advisor r1)."""
+    saver = ckpt.AsyncCheckpointer()
+    bad_dir = os.path.join(str(tmp_path), "file_not_dir")
+    with open(bad_dir, "w") as f:
+        f.write("x")  # makedirs inside save() will fail on this path
+    import jax.numpy as jnp
+
+    saver.submit(bad_dir, {"w": jnp.zeros(2)}, epoch=0)
+    with pytest.raises(BaseException):
+        saver.close()
+    assert not saver._thread.is_alive()
 
 
 def test_ckpt_cadence(tmp_path_factory, tiny_data):
@@ -192,6 +217,22 @@ def test_ckpt_cadence(tmp_path_factory, tiny_data):
     engine.train(train_data, valid_data, cfg, out)
     present = {e for e in range(4) if os.path.exists(os.path.join(out, f"{e}_stemgnn.ckpt"))}
     assert present == {1, 3}
+
+
+def test_early_stop_checkpoints_final_epoch(tmp_path_factory, tiny_data):
+    """With ckpt_every>1, the early-stop break must still checkpoint the
+    epoch it stopped on so --resume sees the final state (advisor r1)."""
+    train_data, valid_data, _ = _split(tiny_data)
+    out = str(tmp_path_factory.mktemp("es_backstop"))
+    cfg = TrainConfig(
+        dataset="tiny", window_size=8, horizon=3, epoch=10, batch_size=16,
+        multi_layer=2, validate_freq=1, lr=0.0,  # lr=0: MAE never improves
+        ckpt_every=5, early_stop=True, early_stop_step=1,
+    )
+    engine.train(train_data, valid_data, cfg, out)
+    # epoch 0 sets best; epoch 1 doesn't improve -> stop at epoch 1, which
+    # the every-5 cadence would have skipped
+    assert ckpt.latest_epoch(out) == 1
 
 
 def test_sync_ckpt_mode_equivalent(tmp_path_factory, tiny_cfg, tiny_data):
