@@ -31,7 +31,8 @@ BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline.
 
 
 def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float32",
-            n_nodes=140, window=12, horizon=3, multi=5, seed=0, sparse_k=None):
+            n_nodes=140, window=12, horizon=3, multi=5, seed=0, sparse_k=None,
+            gru_hidden=None, gru_segment=0):
     """Steady-state train-step time through the engine's scan-chunked epoch
     program (the path real training runs: CHUNK_STEPS batches per device
     dispatch, train/engine.py). Per-step host dispatch is NOT the production
@@ -41,7 +42,8 @@ def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float3
     warning when it rounds); `warmup` (in steps) rounds UP to whole chunks
     (default: one chunk)."""
     cfg = StemGNNConfig(units=n_nodes, window_size=window, horizon=horizon,
-                        multi_layer=multi, sparse_k=sparse_k)
+                        multi_layer=multi, sparse_k=sparse_k,
+                        gru_hidden=gru_hidden, gru_segment=gru_segment)
     params = stemgnn.init_params(jax.random.PRNGKey(seed), cfg)
     opt = make_optimizer("RMSProp", 1e-4)
     opt_state = opt.init(params)

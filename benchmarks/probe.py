@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--multi", type=int, default=5)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--pallas_gru", action="store_true",
+                    help="force the fused Pallas GRU kernel (ops/pallas_gru.py)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -67,7 +69,7 @@ def main():
     up = args.pallas
     rows = {}
 
-    gru_impl = ops.select_gru(up, cfg.units)
+    gru_impl = ops.select_gru(up, cfg.units, force_pallas_gru=args.pallas_gru)
     gru_fn = jax.jit(lambda p, xx: gru_impl(p["gru"], xx))
     rows["gru_scan_fwd"] = timeit(gru_fn, (params, x), args.steps)
 

@@ -36,15 +36,19 @@ CONFIGS = {
 }
 # stretch: large latent graphs (quadratic N^2 terms dominate; SURVEY §3.3).
 # 6th field: sparse_k for the top-k sparse latent-graph path (ops/sparse.py);
-# None = dense. (The reference model's unit==N GRU caps the FULL model's
-# feasible N at ~8k on one chip — 3N² recurrent weights, and N sequential
-# steps of N² work make the recurrence itself O(N³): measured 4.8 s/step
-# at N=4096 B=4, ~all of it GRU. The sparse path removes the N²/N³ GRAPH
-# terms, which is what it is for; the GRU term is architecture-inherent.)
+# None = dense. 7th/8th (optional): gru_hidden / gru_segment — the
+# hidden-decoupled segmented GRU deviation (PARITY.md): the reference's
+# unit==N GRU is 3N² recurrent weights and N sequential steps of N² work
+# = O(N³) (measured 4.8 s/step at N=4096 B=4, ~all GRU); rows with
+# gru_hidden replace it with O(N·H²) compute at sequential depth
+# gru_segment, making 32k-100k nodes finite.
 LARGE_CONFIGS = {
     "synthetic-1k": (1024, 12, 3, 5, 8, None),
     "synthetic-4k-sparse64": (4096, 12, 3, 5, 4, 64),
     "synthetic-8k-sparse64": (8192, 12, 3, 5, 2, 64),
+    "synthetic-4k-seggru": (4096, 12, 3, 5, 4, 64, 128, 512),
+    "synthetic-32k-seggru": (32768, 12, 3, 5, 2, 64, 64, 1024),
+    "synthetic-100k-seggru": (102400, 12, 3, 2, 1, 64, 64, 1024),
 }
 
 VARIANTS = {
@@ -88,6 +92,8 @@ def main():
         row_cfg = table[name]
         n, w, h, m, b = row_cfg[:5]
         sparse_k = row_cfg[5] if len(row_cfg) > 5 else None
+        gru_hidden = row_cfg[6] if len(row_cfg) > 6 else None
+        gru_segment = row_cfg[7] if len(row_cfg) > 7 else 0
         for vname in args.variants.split(","):
             use_pallas, precision = VARIANTS[vname.strip()]
             try:
@@ -95,6 +101,7 @@ def main():
                     batch=b, steps=args.steps, warmup=args.warmup,
                     use_pallas=use_pallas, precision=precision,
                     n_nodes=n, window=w, horizon=h, multi=m, sparse_k=sparse_k,
+                    gru_hidden=gru_hidden, gru_segment=gru_segment,
                 )
             except Exception as e:  # e.g. Pallas shape limits on a config
                 print(f"{name}/{vname}: FAILED {type(e).__name__}: {e}", file=sys.stderr)

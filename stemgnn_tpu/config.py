@@ -27,6 +27,24 @@ class StemGNNConfig:
     # feature-space Chebyshev — O(N*k) instead of O(N^2)/O(N^3); see
     # ops/sparse.py. None = exact dense reference semantics.
     sparse_k: Optional[int] = None
+    # stretch-config GRU deviation (requires sparse_k; documented in
+    # PARITY.md): decouple the GRU hidden size from N (the reference's
+    # hidden==N costs 3N^2 weights and N sequential steps of N^2 work =
+    # O(N^3) — architecturally impossible at 100k nodes) and optionally
+    # run the node sequence as independent segments of `gru_segment`
+    # nodes (parallel across segments, sequential depth = segment length).
+    gru_hidden: Optional[int] = None
+    gru_segment: int = 0  # 0 = one full-length segment
+
+    def __post_init__(self):
+        if self.gru_hidden is not None and self.sparse_k is None:
+            raise ValueError(
+                "gru_hidden (the decoupled stretch GRU) requires sparse_k: "
+                "the dense attention path depends on the reference's "
+                "hidden==N shape pun (base_model.py:152)"
+            )
+        if self.gru_segment and self.gru_hidden is None:
+            raise ValueError("gru_segment requires gru_hidden")
 
     @property
     def wm(self) -> int:
@@ -83,6 +101,8 @@ class TrainConfig:
     ckpt_every: int = 1  # per-epoch checkpoint cadence (reference: every epoch)
     ckpt_async: bool = True  # overlap checkpoint transfer/write with training
     sparse_k: int = 0  # >0: top-k sparse latent graph (large-N stretch path)
+    gru_hidden: int = 0  # >0: decoupled GRU hidden size (stretch; needs sparse_k)
+    gru_segment: int = 0  # >0: segmented node recurrence (stretch; needs gru_hidden)
     log_jsonl: bool = True  # structured per-epoch metrics JSONL
     profile: bool = False  # dump a jax.profiler trace of one epoch
     debug_nans: bool = False  # sanitizer mode: raise on NaN/Inf in any op
@@ -99,6 +119,8 @@ class TrainConfig:
             dropout_rate=self.dropout_rate,
             leaky_rate=self.leakyrelu_rate,
             sparse_k=self.sparse_k if self.sparse_k > 0 else None,
+            gru_hidden=self.gru_hidden if self.gru_hidden > 0 else None,
+            gru_segment=self.gru_segment,
         )
 
 

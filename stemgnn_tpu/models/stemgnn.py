@@ -74,20 +74,28 @@ def init_block_params(key, cfg: StemGNNConfig, stack_i: int) -> Params:
 
 
 def init_params(key, cfg: StemGNNConfig) -> Params:
-    """Full model params (base_model.py:79-104)."""
+    """Full model params (base_model.py:79-104).
+
+    Stretch deviation: with cfg.gru_hidden set (sparse path only), the GRU
+    hidden size is H instead of N and the rank-1 attention vectors are
+    [H, 1] — the reference's hidden==N is 3N^2 weights, architecturally
+    impossible at the 100k-node stretch scale (PARITY.md deviations).
+    """
     n, w = cfg.units, cfg.window_size
+    h = cfg.gru_hidden if cfg.gru_hidden is not None else n
     keys = jax.random.split(key, 8 + cfg.stack_cnt)
     gru_keys = jax.random.split(keys[2], 4)
     params: Params = {
-        "weight_key": init.xavier_uniform(keys[0], (n, 1), gain=1.414),
-        "weight_query": init.xavier_uniform(keys[1], (n, 1), gain=1.414),
-        # torch nn.GRU(input=W, hidden=N): weights [3N,W],[3N,N], biases [3N];
-        # gate order (r, z, n); all U(-1/sqrt(N), 1/sqrt(N)).
+        "weight_key": init.xavier_uniform(keys[0], (h, 1), gain=1.414),
+        "weight_query": init.xavier_uniform(keys[1], (h, 1), gain=1.414),
+        # torch nn.GRU(input=W, hidden=H): weights [3H,W],[3H,H], biases [3H];
+        # gate order (r, z, n); all U(-1/sqrt(H), 1/sqrt(H)). H == N in the
+        # reference (base_model.py:92).
         "gru": {
-            "w_ih": init.uniform_scaled(gru_keys[0], (3 * n, w), n),
-            "w_hh": init.uniform_scaled(gru_keys[1], (3 * n, n), n),
-            "b_ih": init.uniform_scaled(gru_keys[2], (3 * n,), n),
-            "b_hh": init.uniform_scaled(gru_keys[3], (3 * n,), n),
+            "w_ih": init.uniform_scaled(gru_keys[0], (3 * h, w), h),
+            "w_hh": init.uniform_scaled(gru_keys[1], (3 * h, h), h),
+            "b_ih": init.uniform_scaled(gru_keys[2], (3 * h,), h),
+            "b_hh": init.uniform_scaled(gru_keys[3], (3 * h,), h),
         },
         "blocks": [
             init_block_params(keys[3 + i], cfg, i) for i in range(cfg.stack_cnt)
@@ -140,6 +148,48 @@ def gru_over_nodes(gru: Params, x):
     return jnp.transpose(hs, (1, 0, 2))  # [B, N_seq, N_hid]
 
 
+def gru_over_nodes_segmented(gru: Params, x, hidden: int, seg_len: int = 0):
+    """Stretch-path GRU: hidden size H decoupled from N, node sequence run
+    as independent segments (documented deviation, PARITY.md).
+
+    The reference recurrence is N sequential steps with an N-dim hidden
+    state — O(N^3) compute and 3N^2 weights, impossible at 100k nodes.
+    Here: x [B, W, N] -> enc [B, N, H] with a GRU(input=W, hidden=H)
+    scanned over segments of `seg_len` nodes, each starting from h0 = 0.
+    Segments run in PARALLEL (they fold into the batch axis of one
+    lax.scan of [S*B, H] @ [H, 3H] MXU matmuls), so sequential depth is
+    seg_len, total compute O(N * H^2), and segments align with node
+    blocks on the 'graph' mesh axis (zero cross-device traffic in the
+    recurrence). seg_len = 0 runs one full-length segment.
+    """
+    b, w, n = x.shape
+    h = hidden
+    seg = seg_len if seg_len > 0 else n
+    n_pad = -(-n // seg) * seg
+    s = n_pad // seg
+    xs = jnp.transpose(x, (2, 0, 1))  # [N, B, W]
+    if n_pad != n:
+        xs = jnp.pad(xs, ((0, n_pad - n), (0, 0), (0, 0)))
+    # [S, seg, B, W] -> [seg, S*B, W]: segments become extra batch rows
+    xs = jnp.transpose(xs.reshape(s, seg, b, w), (1, 0, 2, 3)).reshape(seg, s * b, w)
+    x_proj = jnp.einsum("tbw,gw->tbg", xs, gru["w_ih"]) + gru["b_ih"]  # [seg,S*B,3H]
+    w_hh_t = gru["w_hh"].T  # [H, 3H]
+    b_hh = gru["b_hh"]
+
+    def step(hc, xp):
+        hp = hc @ w_hh_t  # [S*B, 3H]
+        r = jax.nn.sigmoid(xp[:, :h] + hp[:, :h] + b_hh[:h])
+        z = jax.nn.sigmoid(xp[:, h : 2 * h] + hp[:, h : 2 * h] + b_hh[h : 2 * h])
+        ncand = jnp.tanh(xp[:, 2 * h :] + r * (hp[:, 2 * h :] + b_hh[2 * h :]))
+        h_new = (1.0 - z) * ncand + z * hc
+        return h_new, h_new
+
+    h0 = jnp.zeros((s * b, h), x.dtype)
+    _, hs = jax.lax.scan(step, h0, x_proj)  # [seg, S*B, H]
+    hs = jnp.transpose(hs.reshape(seg, s, b, h), (1, 0, 2, 3)).reshape(n_pad, b, h)
+    return jnp.transpose(hs[:n], (1, 0, 2))  # [B, N, H]
+
+
 def latent_correlation_layer(
     params: Params,
     cfg: StemGNNConfig,
@@ -157,6 +207,25 @@ def latent_correlation_layer(
     SparseLatentGraph) instead — O(N*k) storage, no [N,N] or [B,N,N]
     materialization (ops/sparse.py).
     """
+    if cfg.gru_hidden is not None:
+        # stretch deviation (PARITY.md): hidden-decoupled segmented GRU —
+        # enc [B, N, H]; node i's rank-1 score comes from its own
+        # embedding row (no hidden==N shape pun). Node axis sharded over
+        # 'graph'; the recurrence itself is segment-local (zero comm).
+        from stemgnn_tpu.ops import sparse as sparse_ops
+
+        enc = gru_over_nodes_segmented(
+            params["gru"], x, cfg.gru_hidden, cfg.gru_segment
+        )  # [B, N, H]
+        enc = constrain(enc, mesh, P(DATA_AXIS, GRAPH_AXIS, None))
+        key_vec = jnp.mean(enc @ params["weight_key"], axis=0)[:, 0]  # [N]
+        query_vec = jnp.mean(enc @ params["weight_query"], axis=0)[:, 0]
+        g = sparse_ops.topk_latent_graph(
+            key_vec, query_vec, cfg.leaky_rate, cfg.sparse_k,
+            dropout_rng=dropout_rng if training else None,
+            dropout_rate=cfg.dropout_rate if training else 0.0,
+        )
+        return g, g
     gru_fn = ops.select_gru(use_pallas, cfg.units)
     enc = gru_fn(params["gru"], x)  # [B, N_seq, N_hid]
     # the reference's input.permute(0,2,1) — only legal because hidden==N
@@ -204,7 +273,7 @@ def latent_correlation_layer(
 
 def block_forward(
     block: Params, cfg: StemGNNConfig, x, mul_L, stack_i: int, *,
-    use_pallas: bool = False, mesh=None,
+    use_pallas: bool = False, mesh=None, precision: str = "float32",
 ):
     """One StockBlockLayer (base_model.py:61-75).
 
@@ -216,13 +285,13 @@ def block_forward(
     node-sharded outputs, so the quadratic N^2 work and the wide GLU/
     contraction matmuls are all node-partitioned (SURVEY.md section 7.5).
     """
-    spe_seq = ops.select_spe_seq_cell(use_pallas)
+    spe_seq = ops.select_spe_seq_cell(use_pallas, precision)
     from stemgnn_tpu.ops.sparse import SparseLatentGraph, sparse_cheb_conv
 
     if isinstance(mul_L, SparseLatentGraph):
         gfted = sparse_cheb_conv(mul_L, x)  # [B, 4, N, W], O(N*k)
     else:
-        graph_conv = ops.select_graph_conv(use_pallas)
+        graph_conv = ops.select_graph_conv(use_pallas, precision)
         gfted = graph_conv(mul_L, x)  # [B, 4, N, W]
     gfted = constrain(gfted, mesh, P(DATA_AXIS, None, GRAPH_AXIS, None))
     gconv = spe_seq(gfted, block["glu"], cfg.multi_layer)  # [B, 4, N, Wm]
@@ -274,7 +343,7 @@ def forward(
         for i in range(cfg.stack_cnt):
             f, feat_next = block_forward(
                 params["blocks"][i], cfg, feat, mul_L, i,
-                use_pallas=use_pallas, mesh=mesh,
+                use_pallas=use_pallas, mesh=mesh, precision=precision,
             )
             forecasts.append(f)
             if feat_next is not None:

@@ -19,19 +19,33 @@ from stemgnn_tpu.ops.jnp_impl import (  # noqa: F401
 )
 
 
-def select_spe_seq_cell(use_pallas: bool):
+def _compute_dtype(precision: str):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+
+
+def select_spe_seq_cell(use_pallas: bool, precision: str = "float32"):
     if use_pallas:
+        import functools
+
         from stemgnn_tpu.ops.pallas_spectral import spe_seq_cell_pallas
 
-        return spe_seq_cell_pallas
+        return functools.partial(
+            spe_seq_cell_pallas, compute_dtype=_compute_dtype(precision)
+        )
     return spe_seq_cell
 
 
-def select_graph_conv(use_pallas: bool):
+def select_graph_conv(use_pallas: bool, precision: str = "float32"):
     if use_pallas:
+        import functools
+
         from stemgnn_tpu.ops.pallas_graph import cheb_graph_conv_pallas
 
-        return cheb_graph_conv_pallas
+        return functools.partial(
+            cheb_graph_conv_pallas, compute_dtype=_compute_dtype(precision)
+        )
     return cheb_graph_conv
 
 

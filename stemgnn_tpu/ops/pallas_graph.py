@@ -36,7 +36,7 @@ def _kernel(l_ref, x_ref, out_ref):
     ]
 
 
-def _forward(mul_L, x):
+def _forward(mul_L, x, compute_dtype=jnp.float32):
     k, n, _ = mul_L.shape
     b, _, w = x.shape
     xt = jnp.transpose(x, (1, 0, 2)).reshape(n, b * w)  # [N, B*W]
@@ -44,6 +44,9 @@ def _forward(mul_L, x):
     pad_c = -(b * w) % COL_TILE
     lk = jnp.pad(mul_L[1:], ((0, 0), (0, pad_r), (0, 0)))  # skip k=0 (zeros)
     xp = jnp.pad(xt, ((0, 0), (0, pad_c)))
+    if compute_dtype != jnp.float32:
+        # bf16 MXU operands, f32 accumulation (preferred_element_type)
+        lk, xp = lk.astype(compute_dtype), xp.astype(compute_dtype)
     rows, cols = n + pad_r, b * w + pad_c
 
     out = pl.pallas_call(
@@ -72,17 +75,19 @@ def _forward(mul_L, x):
     return jnp.concatenate([zero, out], axis=1)  # [B, K, N, W], k=0 slab zero
 
 
-@jax.custom_vjp
-def cheb_graph_conv_pallas(mul_L, x):
-    """Pallas twin of jnp_impl.cheb_graph_conv: [K,N,N],[B,N,W] -> [B,K,N,W]."""
-    return _forward(mul_L, x)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def cheb_graph_conv_pallas(mul_L, x, compute_dtype=jnp.float32):
+    """Pallas twin of jnp_impl.cheb_graph_conv: [K,N,N],[B,N,W] -> [B,K,N,W].
+
+    compute_dtype=bfloat16: bf16 MXU operands with f32 accumulation."""
+    return _forward(mul_L, x, compute_dtype)
 
 
-def _fwd(mul_L, x):
-    return _forward(mul_L, x), (mul_L, x)
+def _fwd(mul_L, x, compute_dtype):
+    return _forward(mul_L, x, compute_dtype), (mul_L, x)
 
 
-def _bwd(res, g):
+def _bwd(compute_dtype, res, g):
     mul_L, x = res
     _, vjp = jax.vjp(jnp_impl.cheb_graph_conv, mul_L, x)
     return vjp(g)

@@ -72,7 +72,11 @@ def _dot_t(a, b):
 
 
 def _fwd_kernel(xp_ref, a_ref, b_ref, out_ref, sv_ref, h_ref):
+    """a_ref is the FUSED [H, 3H] recurrent matrix (gate-major columns):
+    ONE [B,H]x[H,3H] MXU op per step — the same matmul shape XLA's scan
+    uses — instead of three [B,H]x[H,H] dots (3x the MXU pass count)."""
     t = pl.program_id(0)
+    h_dim = h_ref.shape[-1]
 
     @pl.when(t == 0)
     def _():
@@ -80,10 +84,11 @@ def _fwd_kernel(xp_ref, a_ref, b_ref, out_ref, sv_ref, h_ref):
 
     h = h_ref[:]
     for u in range(xp_ref.shape[0]):  # UNROLL steps per grid iteration
-        xp = xp_ref[u]  # [3, B, N]
-        r = jax.nn.sigmoid(xp[0] + _dot(h, a_ref[0]) + b_ref[0])
-        z = jax.nn.sigmoid(xp[1] + _dot(h, a_ref[1]) + b_ref[1])
-        hpn = _dot(h, a_ref[2]) + b_ref[2]
+        xp = xp_ref[u]  # [3, B, H]
+        hp = _dot(h, a_ref[:]) + b_ref[:]  # [B, 3H]
+        r = jax.nn.sigmoid(xp[0] + hp[:, :h_dim])
+        z = jax.nn.sigmoid(xp[1] + hp[:, h_dim : 2 * h_dim])
+        hpn = hp[:, 2 * h_dim :]
         c = jnp.tanh(xp[2] + r * hpn)
         sv_ref[u, 0] = r
         sv_ref[u, 1] = z
@@ -96,8 +101,8 @@ def _fwd_kernel(xp_ref, a_ref, b_ref, out_ref, sv_ref, h_ref):
 
 
 def _bwd_kernel(sv_ref, g_ref, a_ref, dxp_ref, dh_ref):
-    """Reverse-grid backward over the saved activations — zero matmuls
-    off the dh critical path."""
+    """Reverse-grid backward over the saved activations — pure elementwise
+    math plus ONE fused [B,3H]x[3H,H] dot per step on the dh chain."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)  # reversed grid: first iteration is the LAST time block
@@ -115,10 +120,8 @@ def _bwd_kernel(sv_ref, g_ref, a_ref, dxp_ref, dh_ref):
         dxp_ref[u, 0] = dr
         dxp_ref[u, 1] = dz
         dxp_ref[u, 2] = dn
-        dh = (
-            dh_total * z + _dot_t(dr, a_ref[0]) + _dot_t(dz, a_ref[1])
-            + _dot_t(dhpn, a_ref[2])
-        )
+        dcat = jnp.concatenate([dr, dz, dhpn], axis=-1)  # [B, 3H]
+        dh = dh_total * z + _dot_t(dcat, a_ref[:])  # dcat @ a_all^T
     dh_ref[:] = dh
 
 
@@ -134,8 +137,16 @@ def _pad_time(x, n_pad):
     return jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
 
 
+def _fuse_weights(a3, bh3):
+    """[3,H,H]/[3,1,H] -> gate-major fused [H,3H]/[1,3H] (one MXU op/step)."""
+    a_all = jnp.concatenate([a3[0], a3[1], a3[2]], axis=1)
+    b_all = jnp.concatenate([bh3[0], bh3[1], bh3[2]], axis=1)
+    return a_all, b_all
+
+
 def _run_forward(x_proj, a3, bh3):
     n, _, b, nh = x_proj.shape
+    a_all, b_all = _fuse_weights(a3, bh3)
     n_pad = -(-n // UNROLL) * UNROLL
     xp = _pad_time(x_proj, n_pad)
     hs, saved = pl.pallas_call(
@@ -144,8 +155,8 @@ def _run_forward(x_proj, a3, bh3):
         in_specs=[
             pl.BlockSpec((UNROLL, 3, b, nh), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            _full(a3.shape),
-            _full(bh3.shape),
+            _full(a_all.shape),
+            _full(b_all.shape),
         ],
         out_specs=[
             pl.BlockSpec((UNROLL, b, nh), lambda t: (t, 0, 0),
@@ -163,7 +174,7 @@ def _run_forward(x_proj, a3, bh3):
             bytes_accessed=4 * n_pad * b * nh * (4 + N_SAVED) + 4 * 3 * nh * nh,
             transcendentals=3 * n_pad * b * nh,
         ),
-    )(xp, a3, bh3)
+    )(xp, a_all, b_all)
     return hs[:n], saved[:n]
 
 
@@ -187,6 +198,7 @@ def _vjp_fwd(x_proj, a3, bh3):
 
 def _vjp_bwd(res, g):
     a3, hs, saved = res
+    a_all, _ = _fuse_weights(a3, jnp.zeros((3, 1, a3.shape[-1]), a3.dtype))
     n, b, nh = hs.shape
     n_pad = -(-n // UNROLL) * UNROLL
     nb = n_pad // UNROLL
@@ -202,7 +214,7 @@ def _vjp_bwd(res, g):
             pl.BlockSpec((UNROLL, N_SAVED, b, nh), rev4,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((UNROLL, b, nh), rev3, memory_space=pltpu.VMEM),
-            _full(a3.shape),
+            _full(a_all.shape),
         ],
         out_specs=pl.BlockSpec((UNROLL, 3, b, nh), rev4,
                                memory_space=pltpu.VMEM),
@@ -213,7 +225,7 @@ def _vjp_bwd(res, g):
             bytes_accessed=4 * n_pad * b * nh * (N_SAVED + 4) + 4 * 3 * nh * nh,
             transcendentals=0,
         ),
-    )(sv_p, g_p, a3)[:n]
+    )(sv_p, g_p, a_all)[:n]
 
     dx_proj = dxp  # (dr, dz, dn) feed x_r, x_z, x_n directly
     # weight/bias grads as single XLA contractions over the saved states:

@@ -75,16 +75,23 @@ def _kernel(x_ref, cf_ref, sf_ref, ci_ref, si_ref, *glu_refs):
     out_ref = glu_refs[-1]
     glu_refs = glu_refs[:-1]  # 24 refs: (wl, bl, wr, br) x 6 GLUs
     x = x_ref[:]
+    # mixed precision: operands in the block dtype (bf16 on the fast path
+    # halves HBM/VMEM traffic and runs the MXU at full rate), accumulation
+    # always f32 via preferred_element_type
+    cdtype = x_ref.dtype
     dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
     real = dot(x, cf_ref[:])
     imag = dot(x, sf_ref[:])
     for layer in range(3):
         # even GLU -> real, odd GLU -> imag (base_model.py:52-54)
+        real, imag = real.astype(cdtype), imag.astype(cdtype)
         wl, bl, wr, br = (glu_refs[layer * 8 + j][:] for j in range(4))
         real = (dot(real, wl) + bl) * jax.nn.sigmoid(dot(real, wr) + br)
         wl, bl, wr, br = (glu_refs[layer * 8 + 4 + j][:] for j in range(4))
         imag = (dot(imag, wl) + bl) * jax.nn.sigmoid(dot(imag, wr) + br)
-    out_ref[:] = dot(real, ci_ref[:]) + dot(imag, si_ref[:])
+    out_ref[:] = dot(real.astype(cdtype), ci_ref[:]) + dot(
+        imag.astype(cdtype), si_ref[:]
+    )
 
 
 def _flat_glu_args(glu_params):
@@ -101,7 +108,7 @@ def _flat_glu_args(glu_params):
     return args
 
 
-def _forward(x, glu_params, multi: int):
+def _forward(x, glu_params, multi: int, compute_dtype=jnp.float32):
     b, k, n, w = x.shape
     wm = w * multi
     rows = b * n
@@ -112,6 +119,15 @@ def _forward(x, glu_params, multi: int):
     total = rows + pad_rows
     cf, sf, ci, si = (jnp.asarray(m) for m in _dft_matrices(w, k, wm))
     glu_args = _flat_glu_args(glu_params)
+    if compute_dtype != jnp.float32:
+        # bf16 matmul operands, f32 accumulation in-kernel; biases stay f32
+        # (added to f32 accumulators)
+        xr = xr.astype(compute_dtype)
+        cf, sf, ci, si = (m.astype(compute_dtype) for m in (cf, sf, ci, si))
+        glu_args = [
+            a.astype(compute_dtype) if a.ndim == 2 and a.shape[0] > 1 else a
+            for a in glu_args
+        ]
 
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
@@ -143,17 +159,20 @@ def _forward(x, glu_params, multi: int):
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def spe_seq_cell_pallas(x, glu_params, multi: int):
-    """Pallas twin of jnp_impl.spe_seq_cell: [B,K,N,W] -> [B,K,N,W*multi]."""
-    return _forward(x, glu_params, multi)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def spe_seq_cell_pallas(x, glu_params, multi: int, compute_dtype=jnp.float32):
+    """Pallas twin of jnp_impl.spe_seq_cell: [B,K,N,W] -> [B,K,N,W*multi].
+
+    compute_dtype=bfloat16: bf16 MXU operands with f32 accumulation (the
+    full-rate path; numerics pinned vs the f32 twin at bf16 tolerance)."""
+    return _forward(x, glu_params, multi, compute_dtype)
 
 
-def _fwd(x, glu_params, multi):
-    return _forward(x, glu_params, multi), (x, glu_params)
+def _fwd(x, glu_params, multi, compute_dtype):
+    return _forward(x, glu_params, multi, compute_dtype), (x, glu_params)
 
 
-def _bwd(multi, res, g):
+def _bwd(multi, compute_dtype, res, g):
     x, glu_params = res
     _, vjp = jax.vjp(lambda xx, pp: jnp_impl.spe_seq_cell(xx, pp, multi), x, glu_params)
     return vjp(g)

@@ -172,3 +172,19 @@ def test_full_forward_pallas_matches_jnp(params):
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_ref),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_bf16_kernels_match_f32_at_tolerance(params):
+    """compute_dtype=bfloat16 (bf16 MXU operands, f32 accumulation) must
+    track the f32 twins at bf16 tolerance — the full-rate-MXU fast path."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 12, CFG.units)), dtype=jnp.float32)
+    f32, _ = stemgnn.forward(params, CFG, x, use_pallas=True, precision="float32")
+    bf16, _ = stemgnn.forward(params, CFG, x, use_pallas=True, precision="bfloat16")
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32),
+                               atol=5e-2, rtol=5e-2)
+    # and the gradient path stays finite
+    g = jax.grad(lambda p: jnp.sum(stemgnn.forward(
+        p, CFG, x, use_pallas=True, precision="bfloat16")[0] ** 2))(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))

@@ -116,3 +116,85 @@ def test_large_n_smoke_and_grads():
     assert np.isfinite(float(val))
     for leaf in jax.tree.leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+# ---------------------------------------------------------------------------
+# stretch GRU deviation: hidden-decoupled, segmented (PARITY.md deviations)
+# ---------------------------------------------------------------------------
+
+
+def _mk_gru(rng, w, h):
+    return {
+        "w_ih": jnp.asarray(rng.standard_normal((3 * h, w)) * 0.3, jnp.float32),
+        "w_hh": jnp.asarray(rng.standard_normal((3 * h, h)) * 0.3, jnp.float32),
+        "b_ih": jnp.asarray(rng.standard_normal(3 * h) * 0.1, jnp.float32),
+        "b_hh": jnp.asarray(rng.standard_normal(3 * h) * 0.1, jnp.float32),
+    }
+
+
+def test_segmented_gru_single_segment_matches_torch_recurrence(rng):
+    """seg_len=0 (one segment) must be the exact torch-GRU recurrence with
+    hidden H decoupled from N (cross-checked against torch.nn.GRU)."""
+    import torch
+
+    b, w, n, h = 3, 6, 10, 5
+    gru = _mk_gru(rng, w, h)
+    x = jnp.asarray(rng.standard_normal((b, w, n)), jnp.float32)
+    got = stemgnn.gru_over_nodes_segmented(gru, x, h, 0)  # [B, N, H]
+
+    tg = torch.nn.GRU(w, h)
+    with torch.no_grad():
+        tg.weight_ih_l0.copy_(torch.from_numpy(np.asarray(gru["w_ih"])))
+        tg.weight_hh_l0.copy_(torch.from_numpy(np.asarray(gru["w_hh"])))
+        tg.bias_ih_l0.copy_(torch.from_numpy(np.asarray(gru["b_ih"])))
+        tg.bias_hh_l0.copy_(torch.from_numpy(np.asarray(gru["b_hh"])))
+        xs = torch.from_numpy(np.asarray(jnp.transpose(x, (2, 0, 1))))
+        want, _ = tg(xs)  # [N, B, H]
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy().transpose(1, 0, 2), atol=2e-6, rtol=1e-5
+    )
+
+
+def test_segmented_gru_equals_per_segment_runs(rng):
+    """Segmentation semantics: each segment is an independent h0=0
+    recurrence — identical to running the GRU on each node slice."""
+    b, w, n, h, seg = 2, 6, 12, 4, 5  # N=12, seg=5 -> segments 5,5,2 (pad)
+    gru = _mk_gru(rng, w, h)
+    x = jnp.asarray(rng.standard_normal((b, w, n)), jnp.float32)
+    got = stemgnn.gru_over_nodes_segmented(gru, x, h, seg)
+    parts = []
+    for lo in range(0, n, seg):
+        parts.append(
+            stemgnn.gru_over_nodes_segmented(gru, x[:, :, lo : lo + seg], h, 0)
+        )
+    want = jnp.concatenate(parts, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_stretch_forward_and_grads_finite(rng):
+    """Full stretch config: sparse_k + gru_hidden + gru_segment. N=2048
+    forward + grads finite on CPU, and the GRU params are O(H^2) not
+    O(N^2)."""
+    cfg = StemGNNConfig(units=2048, window_size=8, horizon=3, multi_layer=2,
+                        sparse_k=16, gru_hidden=32, gru_segment=256)
+    params = stemgnn.init_params(jax.random.PRNGKey(0), cfg)
+    assert params["gru"]["w_hh"].shape == (96, 32)
+    assert params["weight_key"].shape == (32, 1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 2048)), jnp.float32)
+
+    def loss(p):
+        f, _ = stemgnn.forward(p, cfg, x, training=False)
+        return jnp.sum(f ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_gru_hidden_requires_sparse_k():
+    with pytest.raises(ValueError, match="requires sparse_k"):
+        StemGNNConfig(units=16, window_size=8, gru_hidden=8)
+    with pytest.raises(ValueError, match="requires gru_hidden"):
+        StemGNNConfig(units=16, window_size=8, sparse_k=4, gru_segment=4)
