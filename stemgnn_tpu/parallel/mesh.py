@@ -53,6 +53,30 @@ def auto_mesh_shape(n_devices: int) -> tuple[int, int]:
     return data, graph
 
 
+def make_globalizer(mesh: Optional[Mesh]):
+    """Multi-host input adapter: host-replicated numpy/local arrays ->
+    global jax.Arrays on the mesh.
+
+    In multi-process SPMD every process runs the same program on its local
+    devices; jit inputs must be GLOBAL arrays (a process-local array with a
+    cross-process sharding is an error). All engine inputs (data, window
+    indices, rng keys) are deterministic from the seed, hence identical on
+    every process — so each process can materialize its addressable shards
+    from its own host copy. Returns None single-process (no wrapping; the
+    zero-copy fast path stays).
+    """
+    if mesh is None or jax.process_count() == 1:
+        return None
+
+    def globalize(spec: P, x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, NamedSharding(mesh, spec), lambda idx: x[idx]
+        )
+
+    return globalize
+
+
 def constrain(x, mesh: Optional[Mesh], spec: P):
     """with_sharding_constraint that no-ops off-mesh (single device)."""
     if mesh is None or mesh.size == 1:

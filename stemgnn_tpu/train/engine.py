@@ -37,7 +37,7 @@ from stemgnn_tpu.config import StemGNNConfig, TrainConfig
 from stemgnn_tpu.data.pipeline import WindowDataset, compute_norm_stats, de_normalized
 from stemgnn_tpu.metrics import evaluate
 from stemgnn_tpu.models import stemgnn
-from stemgnn_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from stemgnn_tpu.parallel.mesh import DATA_AXIS, make_globalizer, make_mesh
 from stemgnn_tpu.train import checkpoint as ckpt
 from stemgnn_tpu.train.optim import decayed_lr, make_optimizer
 from stemgnn_tpu.utils.logging import JsonlLogger
@@ -60,6 +60,22 @@ def _shardings(mesh, *specs):
     if mesh is None:
         return None
     return tuple(NamedSharding(mesh, s) for s in specs)
+
+
+def _wrap_eval_global(eval_step, eval_epoch_fn, glob, shard_batch):
+    """Multi-host: wrap the eval callables so host-local inputs become
+    global arrays (params are already global; x/data/hi come from numpy)."""
+    raw_step, raw_epoch = eval_step, eval_epoch_fn
+
+    def step(params, x):
+        return raw_step(params, glob(P(), np.asarray(x)))
+
+    def epoch(params, data, hi_matrix):
+        hi_spec = P(None, DATA_AXIS) if shard_batch else P()
+        return raw_epoch(params, glob(P(), np.asarray(data)),
+                         glob(hi_spec, np.asarray(hi_matrix)))
+
+    return step, epoch
 
 
 # ---------------------------------------------------------------------------
@@ -398,8 +414,12 @@ def train(
     if len(valid_data) == 0:
         raise Exception("Cannot organize enough validation data")
 
+    # multi-host: every process runs this same function SPMD; only the
+    # lead process touches the filesystem (checkpoints, norm_stat, CSVs,
+    # metrics.jsonl) — console prints stay on all processes
+    lead = jax.process_index() == 0
     normalize_statistic = compute_norm_stats(train_data, cfg.norm_method)
-    if normalize_statistic is not None:
+    if normalize_statistic is not None and lead:
         ckpt.save_norm_stat(result_file, normalize_statistic)
 
     key = jax.random.PRNGKey(cfg.seed)
@@ -453,10 +473,18 @@ def train(
     eval_epoch_fn = make_eval_epoch_fn(
         mcfg, cfg.use_pallas, precision, mesh=mesh, shard_batch=shard_batch,
     )
-    data_dev = jnp.asarray(train_set.data)
+    glob = make_globalizer(mesh)
+    if glob is not None:
+        eval_step, eval_epoch_fn = _wrap_eval_global(
+            eval_step, eval_epoch_fn, glob, shard_batch
+        )
+        data_dev = glob(P(), train_set.data)
+    else:
+        data_dev = jnp.asarray(train_set.data)
 
     logger = JsonlLogger(
-        os.path.join(result_file, "metrics.jsonl") if cfg.log_jsonl else None
+        os.path.join(result_file, "metrics.jsonl")
+        if cfg.log_jsonl and lead else None
     )
     shuffle_rng = np.random.default_rng(cfg.seed)
 
@@ -475,9 +503,17 @@ def train(
                 key = jax.random.PRNGKey(meta.get("rng_seed", cfg.seed))
                 print(f"Resumed from epoch {last}")
 
+    if glob is not None:
+        # host-identical params/opt state (same seed everywhere, or same
+        # restored checkpoint) -> globally replicated arrays on the mesh
+        params = jax.tree.map(lambda a: glob(P(), a), params)
+        opt_state = jax.tree.map(
+            lambda a: glob(P(), a) if hasattr(a, "shape") else a, opt_state
+        )
+
     performance_metrics: Dict = {}
     n_windows = len(train_set)
-    saver = ckpt.AsyncCheckpointer() if cfg.ckpt_async else None
+    saver = ckpt.AsyncCheckpointer() if (cfg.ckpt_async and lead) else None
     try:
         performance_metrics = _train_epochs(
             cfg, mcfg, params, opt_state, data_dev, train_set, valid_set,
@@ -485,7 +521,8 @@ def train(
             key, start_epoch, best_validate_mae,
             validate_score_non_decrease_count, train_step, epoch_fn,
             eval_step, eval_epoch_fn, n_windows, saver,
-            train_step_tail=train_step_tail,
+            train_step_tail=train_step_tail, glob=glob,
+            shard_batch=shard_batch, lead=lead,
         )
     finally:
         if saver is not None:
@@ -510,17 +547,36 @@ def _train_epochs(
     normalize_statistic, node_cnt, result_file, logger, shuffle_rng, key,
     start_epoch, best_validate_mae, validate_score_non_decrease_count,
     train_step, epoch_fn, eval_step, eval_epoch_fn, n_windows, saver,
-    train_step_tail=None,
+    train_step_tail=None, glob=None, shard_batch=True, lead=True,
 ) -> Dict:
     if train_step_tail is None:
         train_step_tail = train_step
+
+    hi_chunk_spec = P(None, DATA_AXIS) if shard_batch else P()
+    hi_spec = P(DATA_AXIS) if shard_batch else P()
+
+    def put(x, spec):
+        """Device input: global array multi-host, plain transfer otherwise."""
+        return glob(spec, x) if glob is not None else jnp.asarray(x)
+
+    def save_ckpt(epoch_arg, meta):
+        if not lead:
+            return
+        if saver is not None:
+            saver.submit(result_file, params, opt_state, epoch=epoch_arg, meta=meta)
+        else:
+            ckpt.save(result_file, params, opt_state, epoch=epoch_arg, meta=meta)
     performance_metrics: Dict = {}
     for epoch in range(start_epoch, cfg.epoch):
         lr = decayed_lr(cfg.lr, epoch, cfg.exponential_decay_step, cfg.decay_rate)
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        # put() keeps the opt_state leaf a GLOBAL array under a
+        # multi-process mesh (all other leaves were globalized in train())
+        opt_state.hyperparams["learning_rate"] = put(
+            np.asarray(lr, dtype=np.float32), P()
+        )
         # profiling subsystem (SURVEY.md section 5): trace the first
         # post-compile epoch into <result_file>/profile
-        profiling = cfg.profile and result_file and epoch == start_epoch + 1
+        profiling = cfg.profile and result_file and epoch == start_epoch + 1 and lead
         if profiling:
             jax.profiler.start_trace(os.path.join(result_file, "profile"))
         epoch_start_time = time.time()
@@ -529,11 +585,15 @@ def _train_epochs(
         cnt = len(batches)
         keys = jax.random.split(key, cnt + 1)  # ONE device array [cnt+1, 2]
         key, step_keys = keys[0], keys[1:]
+        if glob is not None:
+            # multi-host: same seed on every process -> identical local
+            # keys; materialize them as one replicated global array
+            step_keys = glob(P(), np.asarray(step_keys))
         losses = []
         lo = 0
         for size in CHUNK_SIZES:  # greedy hierarchical chunking
             while n_full - lo >= size:
-                hi_matrix = jnp.asarray(np.stack(batches[lo : lo + size]))
+                hi_matrix = put(np.stack(batches[lo : lo + size]), hi_chunk_spec)
                 params, opt_state, chunk_losses = epoch_fn(
                     params, opt_state, data_dev, hi_matrix,
                     step_keys[lo : lo + size],
@@ -541,9 +601,14 @@ def _train_epochs(
                 losses.append(chunk_losses)
                 lo += size
         for j in range(lo, cnt):  # leftover full + remainder partial batch
-            step = train_step if j < n_full else train_step_tail
+            is_full = j < n_full
+            step = train_step if is_full else train_step_tail
+            # the tail step is compiled with a replicated batch (arbitrary
+            # remainder size can't shard evenly over 'data')
             params, opt_state, loss = step(
-                params, opt_state, data_dev, jnp.asarray(batches[j]), step_keys[j]
+                params, opt_state, data_dev,
+                put(np.asarray(batches[j]), hi_spec if is_full else P()),
+                step_keys[j],
             )
             losses.append(loss[None])
         loss_total = float(jnp.sum(jnp.concatenate(losses)))  # one sync per epoch
@@ -570,10 +635,7 @@ def _train_epochs(
         # async mode snapshots on device and lets the worker thread do the
         # transfer + write while the next epoch runs (ROADMAP item 2)
         if (epoch + 1) % cfg.ckpt_every == 0 or epoch == cfg.epoch - 1:
-            if saver is not None:
-                saver.submit(result_file, params, opt_state, epoch=epoch, meta=meta)
-            else:
-                ckpt.save(result_file, params, opt_state, epoch=epoch, meta=meta)
+            save_ckpt(epoch, meta)
         logger.log(
             {
                 "event": "epoch",
@@ -597,7 +659,7 @@ def _train_epochs(
                 cfg.window_size,
                 cfg.horizon,
                 cfg.batch_size,
-                result_file=result_file,
+                result_file=result_file if lead else None,
                 eval_epoch_fn=eval_epoch_fn,
             )
             if best_validate_mae > performance_metrics["mae"]:
@@ -607,10 +669,7 @@ def _train_epochs(
             else:
                 validate_score_non_decrease_count += 1
             if is_best_for_now:
-                if saver is not None:
-                    saver.submit(result_file, params, opt_state, meta=meta)
-                else:
-                    ckpt.save(result_file, params, opt_state, meta=meta)
+                save_ckpt(None, meta)
             logger.log({"event": "validate", "epoch": epoch, **{
                 k: (v.tolist() if isinstance(v, np.ndarray) else float(v))
                 for k, v in performance_metrics.items()
@@ -619,10 +678,7 @@ def _train_epochs(
             # backstop: with ckpt_every > 1 this epoch may not have been
             # checkpointed yet — write it so --resume sees the final state
             if (epoch + 1) % cfg.ckpt_every != 0 and epoch != cfg.epoch - 1:
-                if saver is not None:
-                    saver.submit(result_file, params, opt_state, epoch=epoch, meta=meta)
-                else:
-                    ckpt.save(result_file, params, opt_state, epoch=epoch, meta=meta)
+                save_ckpt(epoch, meta)
             break
     return performance_metrics
 

@@ -68,11 +68,42 @@ def run_step(mesh):
     return float(loss)
 
 
+def engine_config():
+    """Shared tiny config for the engine-path multihost fixture."""
+    from stemgnn_tpu.config import TrainConfig
+
+    return TrainConfig(
+        window_size=8, horizon=3, epoch=2, batch_size=8, multi_layer=2,
+        validate_freq=1, early_stop=False, data_axis=2, graph_axis=4,
+        ckpt_async=False, log_jsonl=False,
+    )
+
+
+def engine_data():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    series = rng.standard_normal((160, 8)).astype(np.float32).cumsum(axis=0)
+    return series[:112], series[112:144]
+
+
+def run_engine(result_dir):
+    """The PRODUCTION engine path (engine.train) on whatever mesh the
+    process topology provides — exercises make_globalizer + lead-gated I/O
+    when jax.process_count() > 1, the plain path otherwise."""
+    from stemgnn_tpu.train import engine
+
+    train_data, valid_data = engine_data()
+    metrics, _ = engine.train(train_data, valid_data, engine_config(), result_dir)
+    return metrics["mae"], metrics["rmse"]
+
+
 def main():
     import numpy as np
     from jax.sharding import Mesh
 
     process_id, port = int(sys.argv[1]), sys.argv[2]
+    mode = sys.argv[3] if len(sys.argv) > 3 else "step"
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}",
         num_processes=2,
@@ -80,6 +111,10 @@ def main():
     )
     assert jax.device_count() == 8, jax.device_count()
     assert jax.local_device_count() == 4
+    if mode == "engine":
+        mae, rmse = run_engine(sys.argv[4])
+        print(f"RESULT {process_id} {mae:.10f} {rmse:.10f}", flush=True)
+        return
     mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "graph"))
     loss = run_step(mesh)
     print(f"RESULT {process_id} {loss:.10f}", flush=True)

@@ -61,3 +61,46 @@ def test_two_process_mesh_matches_single_process():
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "graph"))
     golden = run_step(mesh)
     np.testing.assert_allclose(losses[0], golden, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_engine_train_matches_single_process(tmp_path):
+    """The PRODUCTION engine (engine.train) on a 2-process 2x4 mesh:
+    exercises make_globalizer (host arrays -> global jax.Arrays) and
+    lead-process-gated checkpoint/CSV/jsonl I/O; both processes must
+    produce the identical validate MAE/RMSE, matching a single-process
+    engine run of the same config."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out_dir = str(tmp_path / "mh_engine")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(port), "engine", out_dir],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                _, pid, mae, rmse = line.split()
+                results[int(pid)] = (float(mae), float(rmse))
+    assert set(results) == {0, 1}, results
+    assert results[0] == results[1]  # one SPMD program, exact agreement
+    # lead process wrote the checkpoint + norm stats; follower did not race
+    assert os.path.exists(os.path.join(out_dir, "norm_stat.json"))
+
+    from tests.multihost_worker import run_engine
+
+    golden_mae, golden_rmse = run_engine(str(tmp_path / "sp_engine"))
+    np.testing.assert_allclose(results[0][0], golden_mae, rtol=1e-5)
+    np.testing.assert_allclose(results[0][1], golden_rmse, rtol=1e-5)
