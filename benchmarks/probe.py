@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--pallas_gru", action="store_true",
                     help="force the fused Pallas GRU kernel (ops/pallas_gru.py)")
+    ap.add_argument("--kernels", action="store_true",
+                    help="per-kernel timings: each Pallas kernel vs jnp twin")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -72,6 +74,45 @@ def main():
     gru_impl = ops.select_gru(up, cfg.units, force_pallas_gru=args.pallas_gru)
     gru_fn = jax.jit(lambda p, xx: gru_impl(p["gru"], xx))
     rows["gru_scan_fwd"] = timeit(gru_fn, (params, x), args.steps)
+
+    if args.kernels:
+        # per-kernel timing (SURVEY §5): each Pallas kernel vs its jnp twin
+        # as standalone jitted programs on identical inputs (CPU: interpret
+        # mode — correctness smoke only, timings meaningful on TPU)
+        import contextlib
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from stemgnn_tpu.ops import jnp_impl
+
+        interp = (pltpu.force_tpu_interpret_mode() if args.cpu
+                  else contextlib.nullcontext())
+        interp.__enter__()
+
+        k4 = jax.random.normal(jax.random.PRNGKey(4),
+                               (args.batch, 4, args.n, args.window))
+        glu = params["blocks"][0]["glu"]
+        spe_p = jax.jit(ops.select_spe_seq_cell(True),
+                        static_argnums=(2,))
+        spe_j = jax.jit(jnp_impl.spe_seq_cell, static_argnums=(2,))
+        rows["kernel spe_seq pallas"] = timeit(spe_p, (k4, glu, args.multi), args.steps)
+        rows["kernel spe_seq jnp"] = timeit(spe_j, (k4, glu, args.multi), args.steps)
+
+        enc = jax.random.normal(jax.random.PRNGKey(5), (args.batch, args.n, args.n))
+        att_p = jax.jit(ops.select_attention(True), static_argnums=(3,))
+        att_j = jax.jit(jnp_impl.attention_adjacency, static_argnums=(3,))
+        wk, wq = params["weight_key"], params["weight_query"]
+        rows["kernel attention pallas"] = timeit(att_p, (enc, wk, wq, 0.2), args.steps)
+        rows["kernel attention jnp"] = timeit(att_j, (enc, wk, wq, 0.2), args.steps)
+
+        mul_l4 = jax.random.normal(jax.random.PRNGKey(6), (4, args.n, args.n))
+        mul_l4 = mul_l4.at[0].set(0.0)
+        xf = jax.random.normal(jax.random.PRNGKey(7), (args.batch, args.n, args.window))
+        gc_p = jax.jit(ops.select_graph_conv(True))
+        gc_j = jax.jit(jnp_impl.cheb_graph_conv)
+        rows["kernel cheb_conv pallas"] = timeit(gc_p, (mul_l4, xf), args.steps)
+        rows["kernel cheb_conv jnp"] = timeit(gc_j, (mul_l4, xf), args.steps)
+        interp.__exit__(None, None, None)
 
     lat_fn = jax.jit(lambda p, xx: stemgnn.latent_correlation_layer(
         p, cfg, xx, training=False, use_pallas=up))

@@ -83,7 +83,23 @@ def main():
     if args.large:
         table.update(LARGE_CONFIGS)
 
+    # merge-on-write: keep rows from a previous run for (config, variant)
+    # pairs not re-measured here, and persist after EVERY row so a crash
+    # or timeout mid-matrix loses at most the in-flight measurement
     rows = []
+    prior = []
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f).get("rows", [])
+
+    def flush():
+        measured = {(r["config"], r["variant"]) for r in rows}
+        kept = [r for r in prior if (r["config"], r["variant"]) not in measured]
+        out = {"device": str(jax.devices()[0]), "rows": kept + rows}
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+        return len(kept) + len(rows)
+
     for name in args.configs.split(","):
         name = name.strip()
         if name not in table:
@@ -113,13 +129,15 @@ def main():
                 "step_time_ms": round(res["step_time_ms"], 3),
                 "edges_per_s": round(res["edges_per_s"]),
             }
+            if gru_hidden:
+                row["gru_hidden"] = gru_hidden
+                row["gru_segment"] = gru_segment
             rows.append(row)
-            print(json.dumps(row))
+            print(json.dumps(row), flush=True)
+            flush()
 
-    out = {"device": str(jax.devices()[0]), "rows": rows}
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=2)
-    print(f"wrote {args.out} ({len(rows)} rows)")
+    total = flush()
+    print(f"wrote {args.out} ({total} rows)")
 
 
 if __name__ == "__main__":
