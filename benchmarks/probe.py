@@ -48,6 +48,8 @@ def main():
                     help="force the fused Pallas GRU kernel (ops/pallas_gru.py)")
     ap.add_argument("--kernels", action="store_true",
                     help="per-kernel timings: each Pallas kernel vs jnp twin")
+    ap.add_argument("--bf16", action="store_true",
+                    help="probe the bfloat16 compute path (the bench default)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -69,6 +71,7 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1), (args.batch, args.window, args.n))
 
     up = args.pallas
+    prec = "bfloat16" if args.bf16 else "float32"
     rows = {}
 
     gru_impl = ops.select_gru(up, cfg.units, force_pallas_gru=args.pallas_gru)
@@ -92,7 +95,7 @@ def main():
         k4 = jax.random.normal(jax.random.PRNGKey(4),
                                (args.batch, 4, args.n, args.window))
         glu = params["blocks"][0]["glu"]
-        spe_p = jax.jit(ops.select_spe_seq_cell(True),
+        spe_p = jax.jit(ops.select_spe_seq_cell(True, prec),
                         static_argnums=(2,))
         spe_j = jax.jit(jnp_impl.spe_seq_cell, static_argnums=(2,))
         rows["kernel spe_seq pallas"] = timeit(spe_p, (k4, glu, args.multi), args.steps)
@@ -108,7 +111,7 @@ def main():
         mul_l4 = jax.random.normal(jax.random.PRNGKey(6), (4, args.n, args.n))
         mul_l4 = mul_l4.at[0].set(0.0)
         xf = jax.random.normal(jax.random.PRNGKey(7), (args.batch, args.n, args.window))
-        gc_p = jax.jit(ops.select_graph_conv(True))
+        gc_p = jax.jit(ops.select_graph_conv(True, prec))
         gc_j = jax.jit(jnp_impl.cheb_graph_conv)
         rows["kernel cheb_conv pallas"] = timeit(gc_p, (mul_l4, xf), args.steps)
         rows["kernel cheb_conv jnp"] = timeit(gc_j, (mul_l4, xf), args.steps)
@@ -121,14 +124,16 @@ def main():
     mul_l, _ = lat_fn(params, x)
     feat = jnp.transpose(x, (0, 2, 1))
     blk_fn = jax.jit(lambda p, f, m: stemgnn.block_forward(
-        p["blocks"][0], cfg, f, m, 0, use_pallas=up)[0])
+        p["blocks"][0], cfg, f, m, 0, use_pallas=up, precision=prec)[0])
     rows["block0_fwd"] = timeit(blk_fn, (params, feat, mul_l), args.steps)
 
-    fwd_fn = jax.jit(lambda p, xx: stemgnn.forward(p, cfg, xx, use_pallas=up)[0])
+    fwd_fn = jax.jit(lambda p, xx: stemgnn.forward(
+        p, cfg, xx, use_pallas=up, precision=prec)[0])
     rows["full_forward"] = timeit(fwd_fn, (params, x), args.steps)
 
     grad_fn = jax.jit(lambda p, xx: jax.grad(
-        lambda pp: jnp.sum(stemgnn.forward(pp, cfg, xx, use_pallas=up)[0] ** 2)
+        lambda pp: jnp.sum(stemgnn.forward(
+            pp, cfg, xx, use_pallas=up, precision=prec)[0] ** 2)
     )(p))
     rows["forward+backward"] = timeit(grad_fn, (params, x), args.steps)
 
@@ -141,7 +146,7 @@ def main():
     opt_state = opt.init(params)
     data = jax.random.normal(jax.random.PRNGKey(2), (1024, args.n))
     hi = jnp.arange(args.window, args.window + args.batch, dtype=jnp.int32)
-    step = make_train_step(cfg, opt, up, "float32")
+    step = make_train_step(cfg, opt, up, prec)
     p2, o2 = params, opt_state
 
     def run_step(p, o):

@@ -159,6 +159,139 @@ def _forward(x, glu_params, multi: int, compute_dtype=jnp.float32):
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
+BWD_ROW_TILE = 128
+
+
+def _bwd_kernel(x_ref, g_ref, cf_ref, sf_ref, ci_ref, si_ref, *refs):
+    """Fused backward: recompute the fwd chain in VMEM, then backprop the
+    whole DFT->3xGLU->iDFT chain in one pass.
+
+    refs = 24 GLU param refs, dx_ref, 24 GLU grad refs. The grad refs map
+    every grid step to the SAME block (constant index map): zeroed at
+    step 0, then accumulated across row tiles (sequential TPU grid)."""
+    glu_refs = refs[:24]
+    dx_ref = refs[24]
+    dglu_refs = refs[25:]
+    first = pl.program_id(0) == 0
+    cdtype = x_ref.dtype
+    dot = lambda a, b: jnp.dot(
+        a.astype(cdtype), b.astype(cdtype), preferred_element_type=jnp.float32
+    )
+
+    # --- recompute forward, saving (input, linear, gate) per GLU ---
+    x = x_ref[:]
+    cur = [dot(x, cf_ref[:]), dot(x, sf_ref[:])]  # [real, imag], f32
+    saved = []
+    for layer in range(3):
+        for chain in range(2):  # 0 = real (even GLU), 1 = imag (odd GLU)
+            wl, bl, wr, br = (
+                glu_refs[layer * 8 + chain * 4 + j][:] for j in range(4)
+            )
+            u = cur[chain].astype(cdtype)  # matches fwd kernel's cast
+            a = dot(u, wl) + bl
+            s = jax.nn.sigmoid(dot(u, wr) + br)
+            saved.append((u, a, s))
+            cur[chain] = a * s
+
+    # --- backward ---
+    g = g_ref[:]
+    d = [dot(g, ci_ref[:].T), dot(g, si_ref[:].T)]  # dR3, dI3
+    for layer in range(2, -1, -1):
+        for chain in range(2):
+            base = layer * 8 + chain * 4
+            wl, wr = glu_refs[base][:], glu_refs[base + 2][:]
+            u, a, s = saved[layer * 2 + chain]
+            dy = d[chain]
+            da = dy * s
+            dspre = dy * a * (s * (1.0 - s))
+            ut = u.T
+            dwl = dot(ut, da)
+            dbl = jnp.sum(da, axis=0, keepdims=True)
+            dwr = dot(ut, dspre)
+            dbr = jnp.sum(dspre, axis=0, keepdims=True)
+            for off, grad in ((0, dwl), (1, dbl), (2, dwr), (3, dbr)):
+                ref = dglu_refs[base + off]
+
+                @pl.when(first)
+                def _init(ref=ref, grad=grad):
+                    ref[:] = grad
+
+                @pl.when(jnp.logical_not(first))
+                def _acc(ref=ref, grad=grad):
+                    ref[:] += grad
+
+            d[chain] = dot(da, wl.T) + dot(dspre, wr.T)
+    dx_ref[:] = dot(d[0], cf_ref[:].T) + dot(d[1], sf_ref[:].T)
+
+
+def _backward(x, glu_params, g, multi: int, compute_dtype=jnp.float32):
+    """Pallas fused VJP of spe_seq_cell wrt (x, glu_params).
+
+    One kernel reads (x, g) once and writes (dx, 24 weight/bias grads) —
+    versus the jnp twin's VJP, which re-runs the forward and round-trips
+    ~16 [rows, K*Wm] temporaries through HBM."""
+    b, k, n, w = x.shape
+    wm = w * multi
+    rows = b * n
+    xr = jnp.transpose(x, (0, 2, 1, 3)).reshape(rows, k * w)
+    gr = jnp.transpose(g, (0, 2, 1, 3)).reshape(rows, k * wm)
+    pad_rows = -rows % BWD_ROW_TILE
+    if pad_rows:
+        # zero rows contribute zero to every grad (dy = 0 there)
+        xr = jnp.pad(xr, ((0, pad_rows), (0, 0)))
+        gr = jnp.pad(gr, ((0, pad_rows), (0, 0)))
+    total = rows + pad_rows
+    cf, sf, ci, si = (jnp.asarray(m) for m in _dft_matrices(w, k, wm))
+    glu_args = _flat_glu_args(glu_params)
+    if compute_dtype != jnp.float32:
+        xr = xr.astype(compute_dtype)
+        gr = gr.astype(compute_dtype)
+        cf, sf, ci, si = (m.astype(compute_dtype) for m in (cf, sf, ci, si))
+        glu_args = [
+            a.astype(compute_dtype) if a.ndim == 2 and a.shape[0] > 1 else a
+            for a in glu_args
+        ]
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    row_spec = lambda cols: pl.BlockSpec(
+        (BWD_ROW_TILE, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        row_spec(k * w), row_spec(k * wm),
+        full(cf), full(sf), full(ci), full(si),
+        *[full(a) for a in glu_args],
+    ]
+    # grads accumulate in f32 across the whole grid
+    out_shape = [jax.ShapeDtypeStruct((total, k * w), jnp.float32)] + [
+        jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in glu_args
+    ]
+    out_specs = [row_spec(k * w)] + [
+        pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for a in glu_args
+    ]
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        grid=(total // BWD_ROW_TILE,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(xr, gr, cf, sf, ci, si, *glu_args)
+    dx = outs[0][:rows].reshape(b, n, k, w)
+    dx = jnp.transpose(dx, (0, 2, 1, 3)).astype(x.dtype)
+    flat = list(outs[1:])
+    # rebuild the exact glu_params pytree: leaf order per GLU is
+    # [left.b, left.w, right.b, right.w] (dict keys iterate sorted),
+    # while the kernel outputs follow _flat_glu_args order (wl,bl,wr,br)
+    leaves = []
+    for li in range(6):
+        dwl, dbl, dwr, dbr = flat[li * 4 : li * 4 + 4]
+        leaves.extend([dbl[0], dwl, dbr[0], dwr])
+    dglu = jax.tree.unflatten(jax.tree.structure(glu_params), leaves)
+    return dx, dglu
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def spe_seq_cell_pallas(x, glu_params, multi: int, compute_dtype=jnp.float32):
     """Pallas twin of jnp_impl.spe_seq_cell: [B,K,N,W] -> [B,K,N,W*multi].
@@ -174,8 +307,7 @@ def _fwd(x, glu_params, multi, compute_dtype):
 
 def _bwd(multi, compute_dtype, res, g):
     x, glu_params = res
-    _, vjp = jax.vjp(lambda xx, pp: jnp_impl.spe_seq_cell(xx, pp, multi), x, glu_params)
-    return vjp(g)
+    return _backward(x, glu_params, g, multi, compute_dtype)
 
 
 spe_seq_cell_pallas.defvjp(_fwd, _bwd)
