@@ -23,8 +23,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from stemgnn_tpu.ops import jnp_impl
-
 ROW_TILE = 128
 
 
@@ -66,6 +64,35 @@ def _forward(enc, weight_key, weight_query, alpha: float):
     return out[:, :n, :]
 
 
+def _bwd_kernel(alpha_ref, key_ref, query_ref, p_ref, g_ref, dkey_ref, dquery_ref):
+    """Fused softmax+LeakyReLU+rank-1-score backward.
+
+    Per (batch, row-tile) grid cell: dscores never leaves VMEM — the only
+    HBM outputs are the rank-1 reductions dkey [TR] and dquery [N] (the
+    scores depend on key/query alone). dquery accumulates across row
+    tiles (constant output block per batch; sequential grid)."""
+    alpha = alpha_ref[0]
+    p = p_ref[:][0]  # [TR, N] softmax output (fwd residual)
+    g = g_ref[:][0]
+    gp = g * p
+    # softmax bwd: dl = p * (g - rowsum(g*p))
+    dl = gp - p * jnp.sum(gp, axis=-1, keepdims=True)
+    # LeakyReLU bwd needs only the PRE-activation sign: recompute the
+    # rank-1 score key_i + query_j in VMEM
+    pre = key_ref[:][0] + query_ref[:][0]  # [TR,1] + [1,N]
+    dpre = jnp.where(pre >= 0, dl, alpha * dl)
+    dkey_ref[:] = jnp.sum(dpre, axis=-1)[None]  # [1, TR]
+    ri = pl.program_id(1)
+
+    @pl.when(ri == 0)
+    def _init():
+        dquery_ref[:] = jnp.sum(dpre, axis=0)[None]
+
+    @pl.when(ri != 0)
+    def _acc():
+        dquery_ref[:] += jnp.sum(dpre, axis=0)[None]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def attention_adjacency_pallas(enc, weight_key, weight_query, alpha: float):
     """Pallas twin of jnp_impl.attention_adjacency: [B,N,N] row softmax."""
@@ -73,19 +100,58 @@ def attention_adjacency_pallas(enc, weight_key, weight_query, alpha: float):
 
 
 def _fwd(enc, weight_key, weight_query, alpha):
-    return _forward(enc, weight_key, weight_query, alpha), (
-        enc,
-        weight_key,
-        weight_query,
-    )
+    out = _forward(enc, weight_key, weight_query, alpha)
+    return out, (enc, weight_key, weight_query, out)
 
 
 def _bwd(alpha, res, g):
-    enc, wk, wq = res
-    _, vjp = jax.vjp(
-        lambda e, k, q: jnp_impl.attention_adjacency(e, k, q, alpha), enc, wk, wq
+    enc, wk, wq, p = res
+    b, n, _ = enc.shape
+    key = (enc @ wk)[..., 0]
+    query = (enc @ wq)[..., 0]
+    pad = -n % ROW_TILE
+    rows = n + pad
+    key_p = jnp.pad(key, ((0, 0), (0, pad)))[..., None]
+    query_p = query[:, None, :]
+    # zero-padded rows of p/g contribute zero to every grad
+    p_p = jnp.pad(p, ((0, 0), (0, pad), (0, 0)))
+    g_p = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    alpha_arr = jnp.full((1,), alpha, dtype=jnp.float32)
+
+    dkey, dquery = pl.pallas_call(
+        _bwd_kernel,
+        grid=(b, rows // ROW_TILE),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ROW_TILE, 1), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda bi, ri: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROW_TILE, n), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROW_TILE, n), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ROW_TILE), lambda bi, ri: (bi, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda bi, ri: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, rows), jnp.float32),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+        ],
+    )(alpha_arr, key_p, query_p, p_p, g_p)
+    dkey = dkey[:, :n]
+
+    # rank-1 projections: key = enc @ wk, query = enc @ wq
+    denc = dkey[..., None] * wk[None, None, :, 0] + (
+        dquery[..., None] * wq[None, None, :, 0]
     )
-    return vjp(g)
+    dwk = jnp.einsum("bin,bi->n", enc, dkey)[:, None]
+    dwq = jnp.einsum("bin,bi->n", enc, dquery)[:, None]
+    return denc, dwk, dwq
 
 
 attention_adjacency_pallas.defvjp(_fwd, _bwd)

@@ -188,3 +188,38 @@ def test_bf16_kernels_match_f32_at_tolerance(params):
         p, CFG, x, use_pallas=True, precision="bfloat16")[0] ** 2))(params)
     for leaf in jax.tree.leaves(g):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_fused_backward_multi_tile_accumulation():
+    """The fused Pallas backwards accumulate parameter grads ACROSS row
+    tiles (constant-index output blocks over a sequential grid). The
+    small-shape grad tests above fit one tile; this pins the ri>0
+    accumulation path: rows > 128 for both kernels."""
+    cfg = StemGNNConfig(units=150, window_size=12, horizon=3, multi_layer=5)
+    p = stemgnn.init_params(jax.random.PRNGKey(11), cfg)
+    rng = np.random.default_rng(12)
+
+    # spe_seq_cell: rows = B*N = 2*150 = 300 -> 3 BWD_ROW_TILE=128 tiles
+    x = jnp.asarray(rng.standard_normal((2, 4, cfg.units, cfg.window_size)),
+                    dtype=jnp.float32)
+    glu = p["blocks"][0]["glu"]
+    g1 = jax.grad(lambda xx, gg: jnp.sum(
+        spe_seq_cell_pallas(xx, gg, cfg.multi_layer) ** 2), argnums=(0, 1))(x, glu)
+    g2 = jax.grad(lambda xx, gg: jnp.sum(
+        jnp_impl.spe_seq_cell(xx, gg, cfg.multi_layer) ** 2), argnums=(0, 1))(x, glu)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-2, rtol=1e-3)
+
+    # attention: N = 150 -> 2 ROW_TILE=128 tiles (dquery accumulates)
+    enc = jnp.asarray(rng.standard_normal((2, cfg.units, cfg.units)),
+                      dtype=jnp.float32)
+    a1 = jax.grad(lambda e, k, q: jnp.sum(attention_adjacency_pallas(
+        e, k, q, cfg.leaky_rate) ** 2), argnums=(0, 1, 2))(
+        enc, p["weight_key"], p["weight_query"])
+    a2 = jax.grad(lambda e, k, q: jnp.sum(jnp_impl.attention_adjacency(
+        e, k, q, cfg.leaky_rate) ** 2), argnums=(0, 1, 2))(
+        enc, p["weight_key"], p["weight_query"])
+    for a, b in zip(a1, a2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
