@@ -98,6 +98,51 @@ def run_engine(result_dir):
     return metrics["mae"], metrics["rmse"]
 
 
+def run_stretch(mesh, n_nodes=102400):
+    """The 100k-node stretch config on a MULTI-HOST mesh (ROADMAP item 3):
+    sparse top-k latent graph + hidden-decoupled segmented GRU, graph axis
+    = all 8 devices across both processes. One sharded train step; the
+    loss must be finite and identical on every process (one SPMD program).
+
+    This is the BASELINE.md north-star scale: the reference's hidden==N
+    GRU is O(N^3) and cannot reach it; the documented deviation
+    (PARITY.md) makes the step linear in N."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stemgnn_tpu.config import StemGNNConfig
+    from stemgnn_tpu.models import stemgnn
+    from stemgnn_tpu.train import engine
+    from stemgnn_tpu.train.optim import make_optimizer
+
+    def globalize(host, spec):
+        host = np.asarray(host)
+        return jax.make_array_from_callback(
+            host.shape, NamedSharding(mesh, spec), lambda idx: host[idx]
+        )
+
+    cfg = StemGNNConfig(units=n_nodes, window_size=12, horizon=3,
+                        multi_layer=2, sparse_k=32, gru_hidden=64,
+                        gru_segment=1024)
+    params = stemgnn.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer("RMSProp", 1e-4)
+    opt_state = opt.init(params)
+    params = jax.tree.map(lambda a: globalize(a, P()), params)
+    opt_state = jax.tree.map(
+        lambda a: globalize(a, P()) if hasattr(a, "shape") else a, opt_state
+    )
+    rng = np.random.default_rng(9)
+    data = globalize(
+        rng.standard_normal((64, n_nodes)).astype(np.float32), P()
+    )
+    hi = globalize(rng.integers(12, 61, size=2).astype(np.int32), P())
+    step = engine.make_train_step(cfg, opt, False, "float32", mesh=mesh,
+                                  shard_batch=False)
+    _, _, loss = step(params, opt_state, data, hi, jax.random.PRNGKey(5))
+    return float(loss)
+
+
 def main():
     import numpy as np
     from jax.sharding import Mesh
@@ -114,6 +159,12 @@ def main():
     if mode == "engine":
         mae, rmse = run_engine(sys.argv[4])
         print(f"RESULT {process_id} {mae:.10f} {rmse:.10f}", flush=True)
+        return
+    if mode == "stretch":
+        # graph axis spans all 8 devices across both processes
+        mesh = Mesh(np.array(jax.devices()).reshape(1, 8), ("data", "graph"))
+        loss = run_stretch(mesh)
+        print(f"RESULT {process_id} {loss:.10f}", flush=True)
         return
     mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "graph"))
     loss = run_step(mesh)

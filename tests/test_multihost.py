@@ -104,3 +104,37 @@ def test_two_process_engine_train_matches_single_process(tmp_path):
     golden_mae, golden_rmse = run_engine(str(tmp_path / "sp_engine"))
     np.testing.assert_allclose(results[0][0], golden_mae, rtol=1e-5)
     np.testing.assert_allclose(results[0][1], golden_rmse, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_100k_node_stretch_step():
+    """BASELINE.md north-star scale on a real multi-process mesh: one
+    sharded train step of the 100k-node stretch config (sparse top-k
+    latent graph + segmented GRU, graph axis = 8 devices across 2
+    processes). Loss finite and identical in both processes."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(port), "stretch"],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    losses = {}
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                _, pid, loss = line.split()
+                losses[int(pid)] = float(loss)
+    assert set(losses) == {0, 1}, losses
+    assert losses[0] == losses[1]
+    assert np.isfinite(losses[0])
