@@ -32,7 +32,7 @@ BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline.
 
 def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float32",
             n_nodes=140, window=12, horizon=3, multi=5, seed=0, sparse_k=None,
-            gru_hidden=None, gru_segment=0):
+            gru_hidden=None, gru_segment=0, gru_unroll=1):
     """Steady-state train-step time through the engine's scan-chunked epoch
     program (the path real training runs: CHUNK_STEPS batches per device
     dispatch, train/engine.py). Per-step host dispatch is NOT the production
@@ -43,7 +43,8 @@ def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float3
     (default: one chunk)."""
     cfg = StemGNNConfig(units=n_nodes, window_size=window, horizon=horizon,
                         multi_layer=multi, sparse_k=sparse_k,
-                        gru_hidden=gru_hidden, gru_segment=gru_segment)
+                        gru_hidden=gru_hidden, gru_segment=gru_segment,
+                        gru_unroll=gru_unroll)
     params = stemgnn.init_params(jax.random.PRNGKey(seed), cfg)
     opt = make_optimizer("RMSProp", 1e-4)
     opt_state = opt.init(params)
@@ -105,12 +106,13 @@ def main():
     ap.add_argument("--warmup", type=int, default=16,
                     help="warmup steps (rounded UP to whole scan chunks)")
     ap.add_argument("--batch", type=int, default=32)
-    # measured on the attached v5e chip (round 2): pallas bf16 2.13 ms/step
-    # vs pallas f32 2.59 ms, jnp f32 ~4.9 ms. bf16 = bf16 MXU operands with
-    # f32 accumulation in the kernels; VERIFIED to converge — a full 50-epoch
-    # ECG run at bf16 reaches test MAE 1.01 / RMSE 1.5436 vs the f32 run's
-    # 1.02 / 1.5448. Default = the fastest convergence-verified config:
-    # pallas + bfloat16. (--f32 measures the exact-parity precision.)
+    # measured on the attached v5e chip (round 2, re-validated after the
+    # attention-bwd Mosaic block fix): pallas bf16 1.32 ms/step (24.2k
+    # windows/s) with both fused Pallas backwards on. bf16 = bf16 MXU
+    # operands with f32 accumulation in the kernels; VERIFIED to converge —
+    # a full 50-epoch ECG run at bf16 reaches test MAE 1.01 / RMSE 1.5436
+    # vs the f32 run's 1.02 / 1.5448. Default = the fastest
+    # convergence-verified config: pallas + bfloat16. (--f32 = exact parity.)
     ap.add_argument("--pallas", dest="pallas", action="store_true", default=True)
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
     ap.add_argument("--bf16", dest="bf16", action="store_true", default=True)

@@ -35,6 +35,16 @@ class StemGNNConfig:
     # nodes (parallel across segments, sequential depth = segment length).
     gru_hidden: Optional[int] = None
     gru_segment: int = 0  # 0 = one full-length segment
+    # measured dispatch threshold (benchmarks/results.json, v5e): below
+    # ~64 nodes the Pallas kernels' grid/padding overhead exceeds the
+    # fusion win (COVID-19 N=25: jnp_bf16 28.8k vs pallas_bf16 25.0k
+    # windows/s), so forward() silently drops use_pallas for tiny graphs.
+    # 0 disables the fallback (tests pin kernel equivalence at small N).
+    pallas_min_nodes: int = 64
+    # lax.scan unroll factor for the node-axis GRU recurrence — the serial
+    # chain is the flagship step's floor; unrolling trades compile time /
+    # code size for less per-iteration loop overhead. 1 = plain scan.
+    gru_unroll: int = 1
 
     def __post_init__(self):
         if self.gru_hidden is not None and self.sparse_k is None:
@@ -103,6 +113,7 @@ class TrainConfig:
     sparse_k: int = 0  # >0: top-k sparse latent graph (large-N stretch path)
     gru_hidden: int = 0  # >0: decoupled GRU hidden size (stretch; needs sparse_k)
     gru_segment: int = 0  # >0: segmented node recurrence (stretch; needs gru_hidden)
+    pallas_min_nodes: int = 64  # below this N, --use_pallas falls back to jnp
     log_jsonl: bool = True  # structured per-epoch metrics JSONL
     profile: bool = False  # dump a jax.profiler trace of one epoch
     debug_nans: bool = False  # sanitizer mode: raise on NaN/Inf in any op
@@ -121,6 +132,7 @@ class TrainConfig:
             sparse_k=self.sparse_k if self.sparse_k > 0 else None,
             gru_hidden=self.gru_hidden if self.gru_hidden > 0 else None,
             gru_segment=self.gru_segment,
+            pallas_min_nodes=self.pallas_min_nodes,
         )
 
 

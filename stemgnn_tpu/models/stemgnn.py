@@ -116,7 +116,7 @@ def param_count(params: Params) -> int:
 # ---------------------------------------------------------------------------
 
 
-def gru_over_nodes(gru: Params, x):
+def gru_over_nodes(gru: Params, x, unroll: int = 1):
     """torch nn.GRU applied with the NODE axis as the sequence (base_model.py:137).
 
     x: [B, W, N]. The reference feeds x.permute(2,0,1) = [N, B, W] to a
@@ -144,7 +144,7 @@ def gru_over_nodes(gru: Params, x):
         return h_new, h_new
 
     h0 = jnp.zeros((b, n), x.dtype)
-    _, hs = jax.lax.scan(step, h0, x_proj)  # hs: [N, B, N]
+    _, hs = jax.lax.scan(step, h0, x_proj, unroll=unroll)  # hs: [N, B, N]
     return jnp.transpose(hs, (1, 0, 2))  # [B, N_seq, N_hid]
 
 
@@ -226,7 +226,7 @@ def latent_correlation_layer(
             dropout_rate=cfg.dropout_rate if training else 0.0,
         )
         return g, g
-    gru_fn = ops.select_gru(use_pallas, cfg.units)
+    gru_fn = ops.select_gru(use_pallas, cfg.units, unroll=cfg.gru_unroll)
     enc = gru_fn(params["gru"], x)  # [B, N_seq, N_hid]
     # the reference's input.permute(0,2,1) — only legal because hidden==N
     enc = jnp.swapaxes(enc, 1, 2)  # [B, N_hid, N_seq]
@@ -332,6 +332,10 @@ def forward(
     full-rate MXU throughput — this JAX build's global default resolves to
     low precision even on CPU, so parity paths must pin float32).
     """
+    # size-based kernel dispatch: below cfg.pallas_min_nodes the Pallas
+    # grid/padding overhead exceeds the fusion win (measured v5e, see
+    # config.py) — fall back to the equivalence-pinned jnp twins.
+    use_pallas = use_pallas and cfg.units >= cfg.pallas_min_nodes
     with jax.default_matmul_precision(precision):
         x = constrain(x, mesh, P(DATA_AXIS, None, None))
         mul_L, attention = latent_correlation_layer(

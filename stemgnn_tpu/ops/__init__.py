@@ -49,7 +49,8 @@ def select_graph_conv(use_pallas: bool, precision: str = "float32"):
     return cheb_graph_conv
 
 
-def select_gru(use_pallas: bool, units: int, force_pallas_gru: bool = False):
+def select_gru(use_pallas: bool, units: int, force_pallas_gru: bool = False,
+               unroll: int = 1):
     """GRU recurrence dispatch. Measured on v5e (benchmarks/probe.py,
     N=140 B=32): the fused Pallas kernel (ops/pallas_gru.py) ties XLA's
     lax.scan on the forward (0.74 vs 0.70 ms) but loses on fwd+bwd (1.72
@@ -62,7 +63,7 @@ def select_gru(use_pallas: bool, units: int, force_pallas_gru: bool = False):
         return gru_over_nodes_pallas
     from stemgnn_tpu.models.stemgnn import gru_over_nodes
 
-    return lambda gru, x: gru_over_nodes(gru, x)
+    return lambda gru, x: gru_over_nodes(gru, x, unroll=unroll)
 
 
 def select_attention(use_pallas: bool):

@@ -81,16 +81,18 @@ def _bwd_kernel(alpha_ref, key_ref, query_ref, p_ref, g_ref, dkey_ref, dquery_re
     # rank-1 score key_i + query_j in VMEM
     pre = key_ref[:][0] + query_ref[:][0]  # [TR,1] + [1,N]
     dpre = jnp.where(pre >= 0, dl, alpha * dl)
-    dkey_ref[:] = jnp.sum(dpre, axis=-1)[None]  # [1, TR]
+    # outputs are [B, 1, rows]/[B, 1, N] (the singleton keeps the block's
+    # last-two-dims Mosaic-legal: (1, TR)/(1, N) with dim -2 == array dim)
+    dkey_ref[:] = jnp.sum(dpre, axis=-1)[None, None]  # [1, 1, TR]
     ri = pl.program_id(1)
 
     @pl.when(ri == 0)
     def _init():
-        dquery_ref[:] = jnp.sum(dpre, axis=0)[None]
+        dquery_ref[:] = jnp.sum(dpre, axis=0)[None, None]
 
     @pl.when(ri != 0)
     def _acc():
-        dquery_ref[:] += jnp.sum(dpre, axis=0)[None]
+        dquery_ref[:] += jnp.sum(dpre, axis=0)[None, None]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -133,17 +135,18 @@ def _bwd(alpha, res, g):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, ROW_TILE), lambda bi, ri: (bi, ri),
+            pl.BlockSpec((1, 1, ROW_TILE), lambda bi, ri: (bi, 0, ri),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda bi, ri: (bi, 0),
+            pl.BlockSpec((1, 1, n), lambda bi, ri: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, rows), jnp.float32),
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, rows), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
         ],
     )(alpha_arr, key_p, query_p, p_p, g_p)
-    dkey = dkey[:, :n]
+    dkey = dkey[:, 0, :n]
+    dquery = dquery[:, 0]
 
     # rank-1 projections: key = enc @ wk, query = enc @ wq
     denc = dkey[..., None] * wk[None, None, :, 0] + (

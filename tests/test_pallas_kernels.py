@@ -18,7 +18,10 @@ from stemgnn_tpu.ops.pallas_attention import attention_adjacency_pallas
 from stemgnn_tpu.ops.pallas_graph import cheb_graph_conv_pallas
 from stemgnn_tpu.ops.pallas_spectral import spe_seq_cell_pallas
 
-CFG = StemGNNConfig(units=20, window_size=12, horizon=3, multi_layer=5)
+# pallas_min_nodes=0: the tests pin KERNEL equivalence at a small N, so
+# the measured tiny-graph jnp fallback (config.py) must be disabled here.
+CFG = StemGNNConfig(units=20, window_size=12, horizon=3, multi_layer=5,
+                    pallas_min_nodes=0)
 
 
 @pytest.fixture(scope="module")
@@ -172,6 +175,23 @@ def test_full_forward_pallas_matches_jnp(params):
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_ref),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_small_graph_pallas_dispatch_falls_back_to_jnp(params):
+    """Below cfg.pallas_min_nodes, forward(use_pallas=True) must take the
+    jnp path (measured faster at tiny N — see config.py). Pinned by
+    BITWISE equality with use_pallas=False: the Pallas kernels only match
+    the twins approximately, so exact equality proves the dispatch."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, pallas_min_nodes=64)  # N=20 < 64
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, cfg.window_size, cfg.units)),
+                    dtype=jnp.float32)
+    f_ref, att_ref = stemgnn.forward(params, cfg, x, use_pallas=False)
+    f_pal, att_pal = stemgnn.forward(params, cfg, x, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(f_pal), np.asarray(f_ref))
+    np.testing.assert_array_equal(np.asarray(att_pal), np.asarray(att_ref))
 
 
 def test_bf16_kernels_match_f32_at_tolerance(params):
