@@ -92,11 +92,21 @@ def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float3
     # "edges" = entries of the dense learned N x N graph touched per
     # Chebyshev conv: K orders x 2 stacks x batch, fwd only (SURVEY 3.3)
     edges_per_step = batch * 4 * n_nodes * n_nodes * 2
+    # speed-of-light accounting (VERDICT r2 item 3): analytic model FLOPs
+    # vs the device's published bf16 matmul peak (utils/flops.py)
+    from stemgnn_tpu.utils.flops import mfu as mfu_fn
+
+    mfu_stats = mfu_fn(cfg, batch, step_time, jax.devices()[0].device_kind)
     return {
         "windows_per_s": windows_per_s,
         "step_time_ms": step_time * 1e3,
         "edges_per_s": edges_per_step / step_time,
         "loss": final_loss,
+        # what forward() actually dispatched: use_pallas is silently dropped
+        # below cfg.pallas_min_nodes (tiny-graph fallback, config.py) — rows
+        # must record the effective path, not the requested flag
+        "pallas_effective": bool(use_pallas and n_nodes >= cfg.pallas_min_nodes),
+        "mfu": mfu_stats,
     }
 
 
@@ -181,9 +191,15 @@ def main():
                     "edges_per_s": round(res["edges_per_s"]),
                     "device": str(jax.devices()[0]),
                     "pallas": args.pallas,
+                    "pallas_effective": res["pallas_effective"],
                     "precision": "bfloat16" if args.bf16 else "float32",
                     "method": "chunked-scan",
                     "baseline_method": baseline_method,
+                    "model_flops_per_step": res["mfu"]["model_flops_per_step"],
+                    "achieved_tflops": round(res["mfu"]["achieved_tflops"], 2),
+                    "mfu_vs_bf16_peak": round(
+                        res["mfu"]["mfu_vs_bf16_peak"], 4
+                    ) if "mfu_vs_bf16_peak" in res["mfu"] else None,
                 },
             }
         )

@@ -65,7 +65,10 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--warmup", type=int, default=16)
     ap.add_argument("--configs", type=str, default="ECG,PEMS07,PEMS03,COVID-19")
-    ap.add_argument("--variants", type=str, default="jnp_f32,pallas_f32,jnp_bf16")
+    # the shipping default (pallas_bf16) is measured by default — a matrix
+    # that omits the production variant goes stale invisibly (round-2 lesson)
+    ap.add_argument("--variants", type=str,
+                    default="jnp_f32,pallas_f32,jnp_bf16,pallas_bf16")
     ap.add_argument("--large", action="store_true", help="include synthetic large-N configs")
     ap.add_argument("--out", type=str,
                     default=os.path.join(os.path.dirname(__file__), "results.json"))
@@ -128,6 +131,15 @@ def main():
                 "windows_per_s": round(res["windows_per_s"], 2),
                 "step_time_ms": round(res["step_time_ms"], 3),
                 "edges_per_s": round(res["edges_per_s"]),
+                # effective dispatch: pallas variants fall back to jnp below
+                # pallas_min_nodes (e.g. COVID-19 N=25) — label honestly
+                "pallas_effective": res["pallas_effective"],
+                # speed-of-light accounting (utils/flops.py): analytic step
+                # FLOPs, achieved TFLOP/s, fraction of the chip's bf16 peak
+                "model_flops_per_step": res["mfu"]["model_flops_per_step"],
+                "achieved_tflops": round(res["mfu"]["achieved_tflops"], 3),
+                "mfu_vs_bf16_peak": round(res["mfu"]["mfu_vs_bf16_peak"], 4)
+                if "mfu_vs_bf16_peak" in res["mfu"] else None,
             }
             if gru_hidden:
                 row["gru_hidden"] = gru_hidden

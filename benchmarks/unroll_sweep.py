@@ -1,9 +1,10 @@
 """One-off TPU experiment: GRU scan unroll sweep on the flagship config."""
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_log_compiles", True)
 from bench import measure

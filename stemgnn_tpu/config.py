@@ -55,6 +55,12 @@ class StemGNNConfig:
             )
         if self.gru_segment and self.gru_hidden is None:
             raise ValueError("gru_segment requires gru_hidden")
+        if self.gru_unroll < 1:
+            raise ValueError(f"gru_unroll must be >= 1, got {self.gru_unroll}")
+        if self.pallas_min_nodes < 0:
+            raise ValueError(
+                f"pallas_min_nodes must be >= 0, got {self.pallas_min_nodes}"
+            )
 
     @property
     def wm(self) -> int:
@@ -114,6 +120,7 @@ class TrainConfig:
     gru_hidden: int = 0  # >0: decoupled GRU hidden size (stretch; needs sparse_k)
     gru_segment: int = 0  # >0: segmented node recurrence (stretch; needs gru_hidden)
     pallas_min_nodes: int = 64  # below this N, --use_pallas falls back to jnp
+    gru_unroll: int = 1  # lax.scan unroll for the node-axis GRU recurrence
     log_jsonl: bool = True  # structured per-epoch metrics JSONL
     profile: bool = False  # dump a jax.profiler trace of one epoch
     debug_nans: bool = False  # sanitizer mode: raise on NaN/Inf in any op
@@ -133,6 +140,7 @@ class TrainConfig:
             gru_hidden=self.gru_hidden if self.gru_hidden > 0 else None,
             gru_segment=self.gru_segment,
             pallas_min_nodes=self.pallas_min_nodes,
+            gru_unroll=self.gru_unroll,
         )
 
 

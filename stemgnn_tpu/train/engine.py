@@ -196,11 +196,15 @@ def make_epoch_fn(
 
 def make_eval_step(
     mcfg: StemGNNConfig, use_pallas: bool, precision: str = "float32", mesh=None,
+    use_ring: bool = False,
 ):
     """Single-batch eval step. With a mesh the input batch stays
     replicated (it also serves trailing partial batches of any size) and
     the model internals are node-partitioned over 'graph'; the batched
-    scan path (make_eval_epoch_fn) is the one that shards over 'data'."""
+    scan path (make_eval_epoch_fn) is the one that shards over 'data'.
+    `use_ring` routes attention through the explicit ppermute ring — a
+    --use_ring run must validate through the SAME attention path it
+    trains with (a >per-device-memory N can't evaluate densely at all)."""
     jit_kw = {}
     if mesh is not None:
         jit_kw = dict(
@@ -212,7 +216,7 @@ def make_eval_step(
     def eval_step(params, x):
         forecast, _ = stemgnn.forward(
             params, mcfg, x, training=False, use_pallas=use_pallas,
-            precision=precision, mesh=mesh,
+            precision=precision, mesh=mesh, use_ring=use_ring,
         )
         return forecast
 
@@ -221,7 +225,7 @@ def make_eval_step(
 
 def make_eval_epoch_fn(
     mcfg: StemGNNConfig, use_pallas: bool, precision: str = "float32",
-    mesh=None, shard_batch: bool = True,
+    mesh=None, shard_batch: bool = True, use_ring: bool = False,
 ):
     """All full eval batches as ONE device program (lax.scan over batches).
 
@@ -252,6 +256,7 @@ def make_eval_epoch_fn(
             f, _ = stemgnn.forward(
                 params, mcfg, x, training=False,
                 use_pallas=use_pallas, precision=precision, mesh=mesh,
+                use_ring=use_ring,
             )
             return None, (f, y)
 
@@ -469,9 +474,12 @@ def train(
         mcfg, opt, cfg.use_pallas, precision,
         mesh=mesh, use_ring=use_ring, shard_batch=shard_batch,
     )
-    eval_step = make_eval_step(mcfg, cfg.use_pallas, precision, mesh=mesh)
+    eval_step = make_eval_step(
+        mcfg, cfg.use_pallas, precision, mesh=mesh, use_ring=use_ring,
+    )
     eval_epoch_fn = make_eval_epoch_fn(
         mcfg, cfg.use_pallas, precision, mesh=mesh, shard_batch=shard_batch,
+        use_ring=use_ring,
     )
     glob = make_globalizer(mesh)
     if glob is not None:
@@ -486,7 +494,6 @@ def train(
         os.path.join(result_file, "metrics.jsonl")
         if cfg.log_jsonl and lead else None
     )
-    shuffle_rng = np.random.default_rng(cfg.seed)
 
     start_epoch = 0
     best_validate_mae = np.inf
@@ -500,7 +507,11 @@ def train(
                 start_epoch = meta.get("epoch", last) + 1
                 best_validate_mae = meta.get("best_validate_mae", np.inf)
                 validate_score_non_decrease_count = meta.get("non_decrease_count", 0)
-                key = jax.random.PRNGKey(meta.get("rng_seed", cfg.seed))
+                # `key` stays the deterministic post-init-split key; per-epoch
+                # randomness is derived statelessly from (key, epoch) /
+                # (seed, epoch) below, so the resumed trajectory is bitwise
+                # the uninterrupted one (pinned by test_train.py and the
+                # 2-process fixture in test_multihost.py)
                 print(f"Resumed from epoch {last}")
 
     if glob is not None:
@@ -517,7 +528,7 @@ def train(
     try:
         performance_metrics = _train_epochs(
             cfg, mcfg, params, opt_state, data_dev, train_set, valid_set,
-            normalize_statistic, node_cnt, result_file, logger, shuffle_rng,
+            normalize_statistic, node_cnt, result_file, logger,
             key, start_epoch, best_validate_mae,
             validate_score_non_decrease_count, train_step, epoch_fn,
             eval_step, eval_epoch_fn, n_windows, saver,
@@ -544,7 +555,7 @@ def train(
 
 def _train_epochs(
     cfg, mcfg, params, opt_state, data_dev, train_set, valid_set,
-    normalize_statistic, node_cnt, result_file, logger, shuffle_rng, key,
+    normalize_statistic, node_cnt, result_file, logger, key,
     start_epoch, best_validate_mae, validate_score_non_decrease_count,
     train_step, epoch_fn, eval_step, eval_epoch_fn, n_windows, saver,
     train_step_tail=None, glob=None, shard_batch=True, lead=True,
@@ -580,11 +591,18 @@ def _train_epochs(
         if profiling:
             jax.profiler.start_trace(os.path.join(result_file, "profile"))
         epoch_start_time = time.time()
-        batches = train_set.epoch_batches(cfg.batch_size, shuffle=True, rng=shuffle_rng)
+        # per-epoch shuffle + dropout streams are derived STATELESSLY from
+        # (seed, epoch) / fold_in(key, epoch) — not from a carried chain —
+        # so a --resume run at epoch k reproduces the uninterrupted run's
+        # batch order and key stream bitwise (multi-host: every process
+        # derives the same values from the same seed)
+        batches = train_set.epoch_batches(
+            cfg.batch_size, shuffle=True,
+            rng=np.random.default_rng([cfg.seed, epoch]),
+        )
         n_full = len(batches) - (1 if len(batches[-1]) < cfg.batch_size else 0)
         cnt = len(batches)
-        keys = jax.random.split(key, cnt + 1)  # ONE device array [cnt+1, 2]
-        key, step_keys = keys[0], keys[1:]
+        step_keys = jax.random.split(jax.random.fold_in(key, epoch), cnt)
         if glob is not None:
             # multi-host: same seed on every process -> identical local
             # keys; materialize them as one replicated global array
@@ -704,9 +722,13 @@ def test(
     precision = "bfloat16" if cfg.compute_dtype == "bfloat16" else "float32"
     mesh = build_mesh(cfg)
     shard_batch = mesh is not None and cfg.batch_size % cfg.data_axis == 0
-    eval_step = make_eval_step(mcfg, cfg.use_pallas, precision, mesh=mesh)
+    use_ring = cfg.use_ring and mesh is not None and cfg.graph_axis > 1
+    eval_step = make_eval_step(
+        mcfg, cfg.use_pallas, precision, mesh=mesh, use_ring=use_ring,
+    )
     eval_epoch_fn = make_eval_epoch_fn(
         mcfg, cfg.use_pallas, precision, mesh=mesh, shard_batch=shard_batch,
+        use_ring=use_ring,
     )
     performance_metrics = validate(
         eval_step,

@@ -87,14 +87,19 @@ def engine_data():
     return series[:112], series[112:144]
 
 
-def run_engine(result_dir):
+def run_engine(result_dir, epoch=None, resume=False):
     """The PRODUCTION engine path (engine.train) on whatever mesh the
     process topology provides — exercises make_globalizer + lead-gated I/O
     when jax.process_count() > 1, the plain path otherwise."""
+    import dataclasses
+
     from stemgnn_tpu.train import engine
 
+    cfg = engine_config()
+    if epoch is not None:
+        cfg = dataclasses.replace(cfg, epoch=epoch, resume=resume)
     train_data, valid_data = engine_data()
-    metrics, _ = engine.train(train_data, valid_data, engine_config(), result_dir)
+    metrics, _ = engine.train(train_data, valid_data, cfg, result_dir)
     return metrics["mae"], metrics["rmse"]
 
 
@@ -158,6 +163,13 @@ def main():
     assert jax.local_device_count() == 4
     if mode == "engine":
         mae, rmse = run_engine(sys.argv[4])
+        print(f"RESULT {process_id} {mae:.10f} {rmse:.10f}", flush=True)
+        return
+    if mode == "engine_resume":
+        # argv: ... engine_resume <result_dir> <epoch> <resume 0|1>
+        mae, rmse = run_engine(
+            sys.argv[4], epoch=int(sys.argv[5]), resume=sys.argv[6] == "1"
+        )
         print(f"RESULT {process_id} {mae:.10f} {rmse:.10f}", flush=True)
         return
     if mode == "stretch":

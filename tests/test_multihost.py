@@ -106,6 +106,64 @@ def test_two_process_engine_train_matches_single_process(tmp_path):
     np.testing.assert_allclose(results[0][1], golden_rmse, rtol=1e-5)
 
 
+def _run_two_process(args_tail, timeout=600):
+    """Launch 2 workers with the given argv tail; return {pid: result-floats}."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(port)] + args_tail,
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=timeout)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                parts = line.split()
+                results[int(parts[1])] = tuple(float(v) for v in parts[2:])
+    assert set(results) == {0, 1}, results
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_resume_matches_uninterrupted(tmp_path):
+    """Multi-host checkpoint/resume (VERDICT r2 item 6): train 2 epochs on
+    a 2-process 2x4 mesh, stop, restart the 2-process job with --resume to
+    epoch 4 — the continued run must restore the lead-written checkpoint
+    into global arrays on the mesh and finish with EXACTLY the metrics of
+    an uninterrupted 4-epoch run (per-epoch RNG streams are stateless, so
+    the trajectories coincide bitwise)."""
+    out_dir = str(tmp_path / "mh_resume")
+
+    # phase 1: 2 epochs, lead process writes checkpoints
+    _run_two_process(["engine_resume", out_dir, "2", "0"])
+    from stemgnn_tpu.train import checkpoint as ckpt
+
+    assert ckpt.latest_epoch(out_dir) == 1
+
+    # phase 2: restart the 2-process job with resume=True to epoch 4
+    resumed = _run_two_process(["engine_resume", out_dir, "4", "1"])
+    assert resumed[0] == resumed[1]  # one SPMD program, exact agreement
+    assert ckpt.latest_epoch(out_dir) == 3
+
+    # golden: uninterrupted single-process 4-epoch run (single- vs multi-
+    # process engine equality is pinned by the engine fixture above)
+    from tests.multihost_worker import run_engine
+
+    golden_mae, golden_rmse = run_engine(
+        str(tmp_path / "sp_uninterrupted"), epoch=4
+    )
+    np.testing.assert_allclose(resumed[0][0], golden_mae, rtol=1e-5)
+    np.testing.assert_allclose(resumed[0][1], golden_rmse, rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_two_process_100k_node_stretch_step():
     """BASELINE.md north-star scale on a real multi-process mesh: one

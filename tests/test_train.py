@@ -97,6 +97,41 @@ def test_resume(tmp_path_factory, tiny_cfg, tiny_data):
     assert os.path.exists(os.path.join(out, "2_stemgnn.ckpt"))
 
 
+def test_resume_trajectory_equals_uninterrupted(tmp_path_factory, tiny_cfg,
+                                                tiny_data):
+    """An interrupted-then-resumed run reproduces the uninterrupted run's
+    loss trajectory and final metrics EXACTLY: per-epoch shuffle/dropout
+    streams are derived statelessly from (seed, epoch), and the checkpoint
+    restores params + optimizer state + best-MAE bookkeeping."""
+    train_data, valid_data, _ = _split(tiny_data)
+
+    def epoch_losses(out):
+        with open(os.path.join(out, "metrics.jsonl")) as f:
+            return [json.loads(l)["loss"] for l in f
+                    if json.loads(l)["event"] == "epoch"]
+
+    # golden: uninterrupted 4-epoch run
+    gold = str(tmp_path_factory.mktemp("gold"))
+    cfg4 = dataclasses.replace(tiny_cfg, epoch=4)
+    m_gold, _ = engine.train(train_data, valid_data, cfg4, gold)
+
+    # interrupted: 2 epochs, then resume to 4 in the same dir
+    out = str(tmp_path_factory.mktemp("interrupted"))
+    cfg2 = dataclasses.replace(tiny_cfg, epoch=2)
+    engine.train(train_data, valid_data, cfg2, out)
+    m_res, _ = engine.train(
+        train_data, valid_data,
+        dataclasses.replace(tiny_cfg, epoch=4, resume=True), out,
+    )
+
+    gold_losses = epoch_losses(gold)
+    res_losses = epoch_losses(out)
+    assert len(gold_losses) == 4 and len(res_losses) == 4
+    np.testing.assert_allclose(res_losses, gold_losses, rtol=1e-6)
+    np.testing.assert_allclose(m_res["mae"], m_gold["mae"], rtol=1e-6)
+    np.testing.assert_allclose(m_res["rmse"], m_gold["rmse"], rtol=1e-6)
+
+
 def test_loss_decreases(tmp_path_factory, tiny_data):
     """Sanity: 6 epochs on learnable synthetic data reduces train loss."""
     cfg = TrainConfig(
