@@ -41,7 +41,11 @@ def hbm_gbps(device_kind: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=64)
+    # the tunneled dispatch costs ~20-30 ms per timed program invocation;
+    # the whole loop is ONE invocation, so iters must be large enough to
+    # push that fixed cost well below the per-iteration op time (measured:
+    # at 64 iters every sub-0.5ms op reads ~0.45 ms/iter — pure overhead)
+    ap.add_argument("--iters", type=int, default=512)
     ap.add_argument("--n", type=int, default=140, help="node count (flagship 140)")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--window", type=int, default=12)

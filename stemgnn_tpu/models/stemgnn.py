@@ -148,6 +148,50 @@ def gru_over_nodes(gru: Params, x, unroll: int = 1):
     return jnp.transpose(hs, (1, 0, 2))  # [B, N_seq, N_hid]
 
 
+def gru_kq_over_nodes(gru: Params, x, weight_key, weight_query, unroll: int = 1):
+    """Dense-path GRU recurrence with the attention's rank-1 contractions
+    FUSED into the scan (round-3 perf redesign; VERDICT r2 item 2).
+
+    The reference pipeline materializes the full [B, N, N] GRU output,
+    permutes it (base_model.py:152), and immediately contracts it to two
+    rank-1 projections: key[b, i] = sum_s hs[s, b, i] * wk[s] (and query
+    with wq) — the hidden sequence is consumed ONLY through these two
+    weighted sums over the sequence axis. Carrying the two accumulators in
+    the scan therefore removes the [B, N, N] materialization, the
+    transposes, and (in the backward) the [B, N, N] d(enc) round trip —
+    the cotangent of each step's hidden state is the rank-1
+    wk[s]*dkey + wq[s]*dquery, which XLA's scan VJP applies directly.
+
+    Exact reference semantics up to float reassociation (sequential
+    accumulation vs matmul reduction order).
+
+    x: [B, W, N]; weight_key/weight_query: [N, 1].
+    Returns (key [B, N], query [B, N]).
+    """
+    b, w, n = x.shape
+    xs = jnp.transpose(x, (2, 0, 1))  # [N, B, W]
+    x_proj = jnp.einsum("nbw,gw->nbg", xs, gru["w_ih"]) + gru["b_ih"]
+    w_hh_t = gru["w_hh"].T  # [N, 3N]
+    b_hh = gru["b_hh"]
+
+    def step(carry, inp):
+        h, ak, aq = carry
+        xp, wks, wqs = inp
+        hp = h @ w_hh_t  # [B, 3N]
+        r = jax.nn.sigmoid(xp[:, :n] + hp[:, :n] + b_hh[:n])
+        z = jax.nn.sigmoid(xp[:, n : 2 * n] + hp[:, n : 2 * n] + b_hh[n : 2 * n])
+        ncand = jnp.tanh(xp[:, 2 * n :] + r * (hp[:, 2 * n :] + b_hh[2 * n :]))
+        h_new = (1.0 - z) * ncand + z * h
+        return (h_new, ak + wks * h_new, aq + wqs * h_new), None
+
+    zero = jnp.zeros((b, n), x.dtype)
+    (_, key, query), _ = jax.lax.scan(
+        step, (zero, zero, zero),
+        (x_proj, weight_key[:, 0], weight_query[:, 0]), unroll=unroll,
+    )
+    return key, query
+
+
 def gru_over_nodes_segmented(gru: Params, x, hidden: int, seg_len: int = 0):
     """Stretch-path GRU: hidden size H decoupled from N, node sequence run
     as independent segments (documented deviation, PARITY.md).
@@ -226,39 +270,46 @@ def latent_correlation_layer(
             dropout_rate=cfg.dropout_rate if training else 0.0,
         )
         return g, g
+    # dense path: the GRU hidden sequence is consumed only through the
+    # rank-1 key/query contractions (base_model.py:152-158). Round-3
+    # measured note: fusing those contractions INTO the scan
+    # (gru_kq_over_nodes) is 45% SLOWER on v5e (1.31 -> 1.92 ms flagship
+    # step): the per-step dwk[s]/dwq[s] cross-lane reductions in the scan
+    # backward serialize, while the [B,N,N] materialization they avoid is
+    # bandwidth-trivial at these sizes. The scan therefore emits the full
+    # hidden sequence and the projections stay as post-scan matmuls.
     gru_fn = ops.select_gru(use_pallas, cfg.units, unroll=cfg.gru_unroll)
     enc = gru_fn(params["gru"], x)  # [B, N_seq, N_hid]
     # the reference's input.permute(0,2,1) — only legal because hidden==N
     enc = jnp.swapaxes(enc, 1, 2)  # [B, N_hid, N_seq]
+    key_vec = (enc @ params["weight_key"])[..., 0]  # [B, N]
+    query_vec = (enc @ params["weight_query"])[..., 0]
     if cfg.sparse_k is not None:
         from stemgnn_tpu.ops import sparse as sparse_ops
 
         # batch-meaned rank-1 projections (stretch approximation; exact
         # for B == 1 — see ops/sparse.py docstring)
-        key_vec = jnp.mean(enc @ params["weight_key"], axis=0)[:, 0]  # [N]
-        query_vec = jnp.mean(enc @ params["weight_query"], axis=0)[:, 0]
         g = sparse_ops.topk_latent_graph(
-            key_vec, query_vec, cfg.leaky_rate, cfg.sparse_k,
+            jnp.mean(key_vec, axis=0), jnp.mean(query_vec, axis=0),
+            cfg.leaky_rate, cfg.sparse_k,
             dropout_rng=dropout_rng if training else None,
             dropout_rate=cfg.dropout_rate if training else 0.0,
         )
         return g, g
-    enc = constrain(enc, mesh, P(DATA_AXIS, GRAPH_AXIS, None))
+    key_vec = constrain(key_vec, mesh, P(DATA_AXIS, GRAPH_AXIS))
+    query_vec = constrain(query_vec, mesh, P(DATA_AXIS, GRAPH_AXIS))
     if use_ring and mesh is not None and mesh.shape[GRAPH_AXIS] > 1:
         # explicit ppermute ring over the 'graph' axis (two-phase online
         # softmax, parallel/ring.py) instead of the GSPMD-constrained
         # dense softmax — each device only ever holds its row block
-        from stemgnn_tpu.parallel.ring import ring_attention
+        from stemgnn_tpu.parallel.ring import ring_attention_kq
 
-        att = ring_attention(
-            mesh, enc, params["weight_key"], params["weight_query"],
-            cfg.leaky_rate,
+        att = ring_attention_kq(
+            mesh, key_vec, query_vec, cfg.leaky_rate
         )  # [B, N, N] row-sharded over 'graph'
     else:
-        attention_fn = ops.select_attention(use_pallas)
-        att = attention_fn(
-            enc, params["weight_key"], params["weight_query"], cfg.leaky_rate
-        )  # [B, N, N]
+        attention_fn = ops.select_attention_kq(use_pallas)
+        att = attention_fn(key_vec, query_vec, cfg.leaky_rate)  # [B, N, N]
     if training and cfg.dropout_rate > 0.0:
         keep = 1.0 - cfg.dropout_rate
         mask = jax.random.bernoulli(dropout_rng, keep, att.shape)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from stemgnn_tpu.ops.jnp_impl import (  # noqa: F401
     attention_adjacency,
+    attention_from_kq,
     cheb_graph_conv,
     cheb_polynomial,
     dense,
@@ -72,3 +73,13 @@ def select_attention(use_pallas: bool):
 
         return attention_adjacency_pallas
     return attention_adjacency
+
+
+def select_attention_kq(use_pallas: bool):
+    """Attention from precomputed [B, N] key/query projections — the
+    production dense path (fused-kq GRU scan, models/stemgnn.py)."""
+    if use_pallas:
+        from stemgnn_tpu.ops.pallas_attention import attention_kq_pallas
+
+        return attention_kq_pallas
+    return attention_from_kq

@@ -28,6 +28,19 @@ def glu(x, p):
     return dense(x, p["left"]) * jax.nn.sigmoid(dense(x, p["right"]))
 
 
+def attention_from_kq(key, query, alpha: float):
+    """Rank-1 additive attention from precomputed projections.
+
+    key/query: [B, N] — the rank-1 contractions of the GRU encoding
+    (base_model.py:153-158); with the fused-kq GRU scan
+    (models/stemgnn.py: gru_kq_over_nodes) the [B, N, N] encoding never
+    materializes. scores[b, i, j] = key[b, i] + query[b, j].
+    """
+    scores = key[:, :, None] + query[:, None, :]  # [B, N, N]
+    scores = jax.nn.leaky_relu(scores, negative_slope=alpha)
+    return jax.nn.softmax(scores, axis=-1)
+
+
 def attention_adjacency(x_enc, weight_key, weight_query, alpha: float):
     """Rank-1 additive self-attention over nodes (base_model.py:151-162).
 
@@ -44,9 +57,7 @@ def attention_adjacency(x_enc, weight_key, weight_query, alpha: float):
     key = x_enc @ weight_key  # [B, N, 1]
     query = x_enc @ weight_query  # [B, N, 1]
     # scores[b, i, j] = key[b, i] + query[b, j]  (repeat/view pun at :156-158)
-    scores = key + jnp.swapaxes(query, -1, -2)  # [B, N, N]
-    scores = jax.nn.leaky_relu(scores, negative_slope=alpha)
-    return jax.nn.softmax(scores, axis=-1)
+    return attention_from_kq(key[..., 0], query[..., 0], alpha)
 
 
 def cheb_graph_conv(mul_L, x):

@@ -36,10 +36,8 @@ def _kernel(alpha_ref, key_ref, query_ref, out_ref):
     out_ref[:] = (e / jnp.sum(e, axis=-1, keepdims=True))[None]  # [1, TR, N]
 
 
-def _forward(enc, weight_key, weight_query, alpha: float):
-    b, n, _ = enc.shape
-    key = (enc @ weight_key)[..., 0]  # [B, N]
-    query = (enc @ weight_query)[..., 0]  # [B, N]
+def _forward_kq(key, query, alpha: float):
+    b, n = key.shape
     pad = -n % ROW_TILE
     key_p = jnp.pad(key, ((0, 0), (0, pad)))[..., None]  # [B, rows, 1]
     query_p = query[:, None, :]  # [B, 1, N]
@@ -95,22 +93,23 @@ def _bwd_kernel(alpha_ref, key_ref, query_ref, p_ref, g_ref, dkey_ref, dquery_re
         dquery_ref[:] += jnp.sum(dpre, axis=0)[None, None]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def attention_adjacency_pallas(enc, weight_key, weight_query, alpha: float):
-    """Pallas twin of jnp_impl.attention_adjacency: [B,N,N] row softmax."""
-    return _forward(enc, weight_key, weight_query, alpha)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def attention_kq_pallas(key, query, alpha: float):
+    """Pallas twin of jnp_impl.attention_from_kq: fused rank-1 score +
+    LeakyReLU + row softmax from the [B, N] projections. The fused-kq GRU
+    scan (models/stemgnn.py) produces key/query directly, so this is the
+    production dense attention path — no [B, N, N] encoding exists."""
+    return _forward_kq(key, query, alpha)
 
 
-def _fwd(enc, weight_key, weight_query, alpha):
-    out = _forward(enc, weight_key, weight_query, alpha)
-    return out, (enc, weight_key, weight_query, out)
+def _fwd(key, query, alpha):
+    out = _forward_kq(key, query, alpha)
+    return out, (key, query, out)
 
 
 def _bwd(alpha, res, g):
-    enc, wk, wq, p = res
-    b, n, _ = enc.shape
-    key = (enc @ wk)[..., 0]
-    query = (enc @ wq)[..., 0]
+    key, query, p = res
+    b, n = key.shape
     pad = -n % ROW_TILE
     rows = n + pad
     key_p = jnp.pad(key, ((0, 0), (0, pad)))[..., None]
@@ -145,16 +144,17 @@ def _bwd(alpha, res, g):
             jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
         ],
     )(alpha_arr, key_p, query_p, p_p, g_p)
-    dkey = dkey[:, 0, :n]
-    dquery = dquery[:, 0]
-
-    # rank-1 projections: key = enc @ wk, query = enc @ wq
-    denc = dkey[..., None] * wk[None, None, :, 0] + (
-        dquery[..., None] * wq[None, None, :, 0]
-    )
-    dwk = jnp.einsum("bin,bi->n", enc, dkey)[:, None]
-    dwq = jnp.einsum("bin,bi->n", enc, dquery)[:, None]
-    return denc, dwk, dwq
+    return dkey[:, 0, :n], dquery[:, 0]
 
 
-attention_adjacency_pallas.defvjp(_fwd, _bwd)
+attention_kq_pallas.defvjp(_fwd, _bwd)
+
+
+def attention_adjacency_pallas(enc, weight_key, weight_query, alpha: float):
+    """Pallas twin of jnp_impl.attention_adjacency (enc-based API kept for
+    the kernel-equivalence tests and any [B, N, N]-encoding caller). The
+    rank-1 projections stay in XLA; jax autodiff differentiates them
+    around the custom-vjp kq core (d enc = dkey (x) wk + dquery (x) wq)."""
+    key = (enc @ weight_key)[..., 0]  # [B, N]
+    query = (enc @ weight_query)[..., 0]
+    return attention_kq_pallas(key, query, alpha)

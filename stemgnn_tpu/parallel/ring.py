@@ -85,21 +85,17 @@ def _ring_attention_local(key_blk, query_blk, alpha, axis_name):
     return out
 
 
-def ring_attention(mesh: Mesh, enc, weight_key, weight_query, alpha: float):
-    """Sharded twin of ops.attention_adjacency.
+def ring_attention_kq(mesh: Mesh, key, query, alpha: float):
+    """Ring attention from precomputed [B, N] projections (the fused-kq GRU
+    scan produces these directly — no [B, N, N] encoding exists).
 
-    enc: [B, N, N] (the GRU encoding, already transposed as the reference's
-    permute(0,2,1)); returns [B, N, N] row-softmax attention, row-block
-    sharded over 'graph'. N must be divisible by the 'graph' axis size.
+    Returns [B, N, N] row-softmax attention, row-block sharded over
+    'graph'. N must be divisible by the 'graph' axis size.
     """
-    n = enc.shape[1]
+    n = key.shape[1]
     p = mesh.shape[GRAPH_AXIS]
     if n % p:
         raise ValueError(f"N={n} not divisible by graph axis {p}")
-
-    # rank-1 projections: key over rows, query over rows (both node-sharded)
-    key = (enc @ weight_key)[..., 0]  # [B, N]
-    query = (enc @ weight_query)[..., 0]
 
     fn = jax.shard_map(
         partial(_ring_attention_local, alpha=alpha, axis_name=GRAPH_AXIS),
@@ -108,3 +104,17 @@ def ring_attention(mesh: Mesh, enc, weight_key, weight_query, alpha: float):
         out_specs=P(None, GRAPH_AXIS, None),
     )
     return fn(key, query)
+
+
+def ring_attention(mesh: Mesh, enc, weight_key, weight_query, alpha: float):
+    """Sharded twin of ops.attention_adjacency (enc-based API, kept for
+    tests and [B, N, N]-encoding callers).
+
+    enc: [B, N, N] (the GRU encoding, already transposed as the reference's
+    permute(0,2,1)); returns [B, N, N] row-softmax attention, row-block
+    sharded over 'graph'. N must be divisible by the 'graph' axis size.
+    """
+    # rank-1 projections: key over rows, query over rows (both node-sharded)
+    key = (enc @ weight_key)[..., 0]  # [B, N]
+    query = (enc @ weight_query)[..., 0]
+    return ring_attention_kq(mesh, key, query, alpha)

@@ -243,3 +243,68 @@ def test_fused_backward_multi_tile_accumulation():
     for a, b in zip(a1, a2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_attention_kq_matches_twin_and_grads(params):
+    """The kq-level kernel (production dense path: fused-kq GRU feeds
+    [B, N] projections straight in) == jnp twin, values and grads."""
+    from stemgnn_tpu.ops.pallas_attention import attention_kq_pallas
+
+    rng = np.random.default_rng(11)
+    b, n = 3, 150  # 2 ROW_TILE tiles: exercises the dquery accumulation
+    key = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+    query = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = attention_kq_pallas(key, query, 0.2)
+    want = jnp_impl.attention_from_kq(key, query, 0.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+    def loss(fn, k, q):
+        return jnp.sum(fn(k, q, 0.2) * jnp.cos(jnp.arange(n, dtype=jnp.float32)))
+
+    with pltpu.force_tpu_interpret_mode():
+        gk1, gq1 = jax.grad(lambda k, q: loss(attention_kq_pallas, k, q),
+                            argnums=(0, 1))(key, query)
+    gk2, gq2 = jax.grad(lambda k, q: loss(jnp_impl.attention_from_kq, k, q),
+                        argnums=(0, 1))(key, query)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gq1), np.asarray(gq2),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_gru_kq_fusion_matches_composed(params):
+    """gru_kq_over_nodes (accumulators carried in the scan) == the
+    composed gru_over_nodes -> swap -> rank-1 projections, values AND
+    gradients (the fused path is the production dense path)."""
+    rng = np.random.default_rng(13)
+    b, w, n = 4, CFG.window_size, CFG.units
+    x = jnp.asarray(rng.standard_normal((b, w, n)), jnp.float32)
+    wk, wq = params["weight_key"], params["weight_query"]
+
+    def composed(gru, x, wk, wq):
+        enc = jnp.swapaxes(stemgnn.gru_over_nodes(gru, x), 1, 2)
+        return (enc @ wk)[..., 0], (enc @ wq)[..., 0]
+
+    with jax.default_matmul_precision("float32"):
+        k1, q1 = stemgnn.gru_kq_over_nodes(params["gru"], x, wk, wq)
+        k2, q2 = composed(params["gru"], x, wk, wq)
+        np.testing.assert_allclose(np.asarray(k1), np.asarray(k2),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q2),
+                                   atol=1e-5, rtol=1e-5)
+
+        def loss_fused(gru, x, wk, wq):
+            k, q = stemgnn.gru_kq_over_nodes(gru, x, wk, wq)
+            return jnp.sum(jnp.sin(k) + jnp.cos(q))
+
+        def loss_composed(gru, x, wk, wq):
+            k, q = composed(gru, x, wk, wq)
+            return jnp.sum(jnp.sin(k) + jnp.cos(q))
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(params["gru"], x, wk, wq)
+        g2 = jax.grad(loss_composed, argnums=(0, 1, 2, 3))(params["gru"], x, wk, wq)
+    for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5, rtol=1e-4)
