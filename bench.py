@@ -32,15 +32,20 @@ BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline.
 
 def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float32",
             n_nodes=140, window=12, horizon=3, multi=5, seed=0, sparse_k=None,
-            gru_hidden=None, gru_segment=0, gru_unroll=1):
+            gru_hidden=None, gru_segment=0, gru_unroll=1, chunk_steps=None):
     """Steady-state train-step time through the engine's scan-chunked epoch
     program (the path real training runs: CHUNK_STEPS batches per device
     dispatch, train/engine.py). Per-step host dispatch is NOT the production
     path — and the tunneled axon transport wedges when >~30 single-step
     dispatches queue up — so the bench times whole chunks and divides.
-    `steps` rounds down to a multiple of CHUNK_STEPS (min 1 chunk, with a
-    warning when it rounds); `warmup` (in steps) rounds UP to whole chunks
-    (default: one chunk)."""
+    `steps` rounds down to a multiple of the chunk size (min 1 chunk, with
+    a warning when it rounds); `warmup` (in steps) rounds UP to whole
+    chunks (default: one chunk). `chunk_steps` overrides CHUNK_STEPS —
+    configs whose single step exceeds seconds (the O(N^3) dense-GRU
+    stretch rows) must use chunk_steps=1: a 16-step chunk of a ~5 s step
+    is ~80 s inside one device program, which trips the TPU execution
+    watchdog and crashes the worker; at those step times the ~30 ms
+    per-dispatch overhead is <1% and the measurement stays honest."""
     cfg = StemGNNConfig(units=n_nodes, window_size=window, horizon=horizon,
                         multi_layer=multi, sparse_k=sparse_k,
                         gru_hidden=gru_hidden, gru_segment=gru_segment,
@@ -50,20 +55,21 @@ def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float3
     opt_state = opt.init(params)
     epoch_fn = make_epoch_fn(cfg, opt, use_pallas, precision)
 
-    n_chunks = max(1, steps // CHUNK_STEPS)
-    if n_chunks * CHUNK_STEPS != steps:
+    chunk = chunk_steps or CHUNK_STEPS
+    n_chunks = max(1, steps // chunk)
+    if n_chunks * chunk != steps:
         import sys
 
-        print(f"bench: steps={steps} rounded to {n_chunks * CHUNK_STEPS} "
-              f"(multiple of CHUNK_STEPS={CHUNK_STEPS})", file=sys.stderr)
-    steps = n_chunks * CHUNK_STEPS
-    n_warm = max(1, -(-warmup // CHUNK_STEPS)) if warmup else 1
+        print(f"bench: steps={steps} rounded to {n_chunks * chunk} "
+              f"(multiple of chunk={chunk})", file=sys.stderr)
+    steps = n_chunks * chunk
+    n_warm = max(1, -(-warmup // chunk)) if warmup else 1
     rng = np.random.default_rng(seed)
     t_len = 4096
     data = jnp.asarray(rng.standard_normal((t_len, n_nodes)), dtype=jnp.float32)
     his = [
         jnp.asarray(
-            rng.integers(window, t_len - horizon, size=(CHUNK_STEPS, batch)),
+            rng.integers(window, t_len - horizon, size=(chunk, batch)),
             dtype=jnp.int32,
         )
         for _ in range(n_warm + n_chunks)
@@ -73,7 +79,7 @@ def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float3
     # warmup chunks (compile + cache warm)
     for i in range(n_warm):
         params, opt_state, losses = epoch_fn(
-            params, opt_state, data, his[i], jax.random.split(keys[i], CHUNK_STEPS)
+            params, opt_state, data, his[i], jax.random.split(keys[i], chunk)
         )
     float(losses[-1])  # real materialization — on the tunneled axon backend,
     # block_until_ready can return before remote execution finishes, so
@@ -82,7 +88,7 @@ def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float3
     t0 = time.perf_counter()
     for i in range(n_warm, n_warm + n_chunks):
         params, opt_state, losses = epoch_fn(
-            params, opt_state, data, his[i], jax.random.split(keys[i], CHUNK_STEPS)
+            params, opt_state, data, his[i], jax.random.split(keys[i], chunk)
         )
     final_loss = float(losses[-1])  # forces the whole donated chain
     elapsed = time.perf_counter() - t0

@@ -70,6 +70,12 @@ def main():
     ap.add_argument("--variants", type=str,
                     default="jnp_f32,pallas_f32,jnp_bf16,pallas_bf16")
     ap.add_argument("--large", action="store_true", help="include synthetic large-N configs")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="override scan-chunk size (steps per device dispatch)."
+                         " Use 1 for configs whose single step runs seconds"
+                         " (dense-GRU sparse stretch rows) — a 16-step chunk"
+                         " there exceeds the TPU execution watchdog and"
+                         " crashes the worker (see bench.measure docstring)")
     ap.add_argument("--out", type=str,
                     default=os.path.join(os.path.dirname(__file__), "results.json"))
     ap.add_argument("--cpu", action="store_true",
@@ -121,6 +127,7 @@ def main():
                     use_pallas=use_pallas, precision=precision,
                     n_nodes=n, window=w, horizon=h, multi=m, sparse_k=sparse_k,
                     gru_hidden=gru_hidden, gru_segment=gru_segment,
+                    chunk_steps=args.chunk or None,
                 )
             except Exception as e:  # e.g. Pallas shape limits on a config
                 print(f"{name}/{vname}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
