@@ -32,7 +32,8 @@ BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline.
 
 def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float32",
             n_nodes=140, window=12, horizon=3, multi=5, seed=0, sparse_k=None,
-            gru_hidden=None, gru_segment=0, gru_unroll=1, chunk_steps=None):
+            gru_hidden=None, gru_segment=0, gru_unroll=1, chunk_steps=None,
+            pallas_attention=True):
     """Steady-state train-step time through the engine's scan-chunked epoch
     program (the path real training runs: CHUNK_STEPS batches per device
     dispatch, train/engine.py). Per-step host dispatch is NOT the production
@@ -49,7 +50,7 @@ def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float3
     cfg = StemGNNConfig(units=n_nodes, window_size=window, horizon=horizon,
                         multi_layer=multi, sparse_k=sparse_k,
                         gru_hidden=gru_hidden, gru_segment=gru_segment,
-                        gru_unroll=gru_unroll)
+                        gru_unroll=gru_unroll, pallas_attention=pallas_attention)
     params = stemgnn.init_params(jax.random.PRNGKey(seed), cfg)
     opt = make_optimizer("RMSProp", 1e-4)
     opt_state = opt.init(params)

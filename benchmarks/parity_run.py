@@ -32,7 +32,7 @@ OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "parity_runs.json")
 
 
-def run_jax(dataset: str, epoch: int, device: str) -> dict:
+def run_jax(dataset: str, epoch: int, device: str, seed: int = 0) -> dict:
     """Train + test through the production engine (main.py flow), f32."""
     import jax
 
@@ -45,14 +45,15 @@ def run_jax(dataset: str, epoch: int, device: str) -> dict:
     from stemgnn_tpu.train.engine import test, train
 
     cfg = TrainConfig(dataset=dataset, epoch=epoch, compute_dtype="float32",
+                      seed=seed,
                       data_dir=os.path.join(REPO, "dataset"),
                       output_dir=os.path.join(REPO, "output"))
     data = load_csv(ensure_dataset(cfg.dataset, cfg.data_dir))
     train_data, valid_data, test_data = split_by_ratio(
         data, cfg.train_length, cfg.valid_length, cfg.test_length
     )
-    result_train = os.path.join(cfg.output_dir, dataset, "parity_train")
-    result_test = os.path.join(cfg.output_dir, dataset, "parity_test")
+    result_train = os.path.join(cfg.output_dir, dataset, f"parity_train_s{seed}")
+    result_test = os.path.join(cfg.output_dir, dataset, f"parity_test_s{seed}")
     t0 = time.time()
     train(train_data, valid_data, cfg, result_train)
     perf = test(test_data, cfg, result_train, result_test)
@@ -60,19 +61,20 @@ def run_jax(dataset: str, epoch: int, device: str) -> dict:
         "framework": "stemgnn_tpu",
         "dataset": dataset,
         "device": str(jax.devices()[0]),
+        "seed": seed,
         "epochs": epoch,
         "test_mae": float(perf["mae"]),
         "test_rmse": float(perf["rmse"]),
         "test_mape": float(perf["mape"]),
         "wall_s": round(time.time() - t0, 1),
         "command": (f"python main.py --dataset {dataset} --epoch {epoch} "
-                    f"--compute_dtype float32"),
+                    f"--compute_dtype float32 --seed {seed}"),
     }
 
 
-def run_torch(dataset: str, epoch: int) -> dict:
+def run_torch(dataset: str, epoch: int, seed: int = 0) -> dict:
     cmd = [sys.executable, os.path.join(REPO, "benchmarks", "torch_ref.py"),
-           "--dataset", dataset, "--epoch", str(epoch)]
+           "--dataset", dataset, "--epoch", str(epoch), "--seed", str(seed)]
     t0 = time.time()
     proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     if proc.returncode != 0:
@@ -83,6 +85,7 @@ def run_torch(dataset: str, epoch: int) -> dict:
     return {
         "framework": "torch_reference_replica",
         "dataset": dataset,
+        "seed": seed,
         "epochs": epoch,
         "test_mae": res["test_mae"],
         "test_rmse": res["test_rmse"],
@@ -99,24 +102,36 @@ def merge(entry: dict):
             blob = json.load(f)
     blob["runs"] = [r for r in blob["runs"]
                     if not (r["dataset"] == entry["dataset"]
-                            and r["framework"] == entry["framework"])]
+                            and r["framework"] == entry["framework"]
+                            and r.get("seed", 0) == entry.get("seed", 0))]
     blob["runs"].append(entry)
     # recompute the per-dataset comparison summary
     summary = {}
     by_ds = {}
     for r in blob["runs"]:
-        by_ds.setdefault(r["dataset"], {})[r["framework"]] = r
+        by_ds.setdefault(r["dataset"], {}).setdefault(r["framework"], []).append(r)
     for ds, sides in by_ds.items():
         if len(sides) == 2:
-            t = sides["torch_reference_replica"]
-            j = sides["stemgnn_tpu"]
-            rel = abs(j["test_mae"] - t["test_mae"]) / t["test_mae"]
+            ts = [r["test_mae"] for r in sides["torch_reference_replica"]]
+            js = [r["test_mae"] for r in sides["stemgnn_tpu"]]
+            t_mean = sum(ts) / len(ts)
+            j_mean = sum(js) / len(js)
+            rel = abs(j_mean - t_mean) / t_mean
             summary[ds] = {
-                "torch_mae": t["test_mae"],
-                "stemgnn_tpu_mae": j["test_mae"],
+                "torch_mae_mean": round(t_mean, 6),
+                "torch_mae_per_seed": [round(v, 6) for v in ts],
+                "stemgnn_tpu_mae_mean": round(j_mean, 6),
+                "stemgnn_tpu_mae_per_seed": [round(v, 6) for v in js],
                 "rel_mae_diff": round(rel, 4),
                 "within_1pct": bool(rel <= 0.01),
             }
+            if len(ts) > 1:
+                # framework gap vs seed-to-seed spread of the reference
+                spread = max(ts) - min(ts)
+                summary[ds]["torch_seed_spread"] = round(spread, 6)
+                summary[ds]["gap_below_seed_noise"] = bool(
+                    abs(j_mean - t_mean) <= spread
+                )
     blob["summary"] = summary
     with open(OUT_PATH, "w") as f:
         json.dump(blob, f, indent=2)
@@ -130,12 +145,13 @@ def main():
     ap.add_argument("--side", choices=["both", "torch", "jax"], default="both")
     ap.add_argument("--jax_device", type=str, default="",
                     help="'cpu' to force the CPU backend for the jax side")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     if args.side in ("both", "torch"):
-        merge(run_torch(args.dataset, args.epoch))
+        merge(run_torch(args.dataset, args.epoch, args.seed))
     if args.side in ("both", "jax"):
-        merge(run_jax(args.dataset, args.epoch, args.jax_device))
+        merge(run_jax(args.dataset, args.epoch, args.jax_device, args.seed))
 
 
 if __name__ == "__main__":

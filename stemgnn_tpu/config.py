@@ -45,6 +45,12 @@ class StemGNNConfig:
     # chain is the flagship step's floor; unrolling trades compile time /
     # code size for less per-iteration loop overhead. 1 = plain scan.
     gru_unroll: int = 1
+    # attention kernel dispatch under use_pallas: the fused SDDMM kernel's
+    # standalone fwd at N=140 measures ~30% slower than the jnp twin
+    # (roofline.json) but composed better in round 2's in-step A/B; this
+    # knob lets the bench re-decide per config. False = jnp attention even
+    # when the other Pallas kernels are on.
+    pallas_attention: bool = True
 
     def __post_init__(self):
         if self.gru_hidden is not None and self.sparse_k is None:

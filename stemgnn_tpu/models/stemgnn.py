@@ -308,7 +308,9 @@ def latent_correlation_layer(
             mesh, key_vec, query_vec, cfg.leaky_rate
         )  # [B, N, N] row-sharded over 'graph'
     else:
-        attention_fn = ops.select_attention_kq(use_pallas)
+        attention_fn = ops.select_attention_kq(
+            use_pallas and cfg.pallas_attention
+        )
         att = attention_fn(key_vec, query_vec, cfg.leaky_rate)  # [B, N, N]
     if training and cfg.dropout_rate > 0.0:
         keep = 1.0 - cfg.dropout_rate
