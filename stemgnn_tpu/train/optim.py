@@ -44,6 +44,13 @@ def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
     Wrapped in inject_hyperparams: the live LR is
     `opt_state.hyperparams['learning_rate']` and can be reassigned between
     epochs without recompilation.
+
+    NOT wrapped in optax.flatten — measured round 3: the standalone
+    per-leaf update costs 0.138 ms (135 leaves -> hundreds of tiny fused
+    kernels), but IN-STEP flatten made the flagship 1.29 -> 1.44 ms: the
+    ravel/unravel copies (~9 MB/step) cost more than the per-leaf
+    overhead, which XLA overlaps with the backward's leaf production in
+    the composed scan program.
     """
     if name == "RMSProp":
         return optax.inject_hyperparams(_torch_rmsprop)(learning_rate=lr)
