@@ -24,24 +24,41 @@ import numpy as np
 
 from stemgnn_tpu.config import StemGNNConfig
 from stemgnn_tpu.models import stemgnn
-from stemgnn_tpu.train.engine import CHUNK_STEPS, make_epoch_fn
+from stemgnn_tpu.train.engine import CHUNK_SIZES, make_epoch_fn
 from stemgnn_tpu.train.optim import make_optimizer
 
 BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline.json")
 
 
-def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float32",
+def measure(batch=32, steps=128, warmup=None, use_pallas=False, precision="float32",
             n_nodes=140, window=12, horizon=3, multi=5, seed=0, sparse_k=None,
             gru_hidden=None, gru_segment=0, gru_unroll=1, chunk_steps=None,
-            pallas_attention=True):
+            pallas_attention=True, repeats=3, max_extra_repeats=2,
+            spread_warn=0.15):
     """Steady-state train-step time through the engine's scan-chunked epoch
-    program (the path real training runs: CHUNK_STEPS batches per device
+    program (the path real training runs: scan-chunked batches per device
     dispatch, train/engine.py). Per-step host dispatch is NOT the production
     path — and the tunneled axon transport wedges when >~30 single-step
     dispatches queue up — so the bench times whole chunks and divides.
+
+    Robustness (VERDICT r3 item 1 — the round-3 driver capture read 3.09 ms
+    on a 1.3 ms step because 6 small-chunk dispatches failed to pipeline
+    over the tunneled transport, and a single unrepeated timing shipped):
+
+    - the default chunk is CHUNK_SIZES[0]=64 steps per device dispatch
+      (the engine's own largest chunk), so per-dispatch transport overhead
+      (~20-70 ms serialized worst case) amortizes 4x better than the old
+      16-step chunks;
+    - the timed window runs `repeats` times (>=3) and the MEDIAN per-step
+      time is the number of record; min/max/spread ship in the result;
+    - when (max-min)/median exceeds `spread_warn`, up to
+      `max_extra_repeats` additional repeats run and the median recomputes
+      over all of them, so one wedged-transport window cannot set the
+      headline.
+
     `steps` rounds down to a multiple of the chunk size (min 1 chunk, with
     a warning when it rounds); `warmup` (in steps) rounds UP to whole
-    chunks (default: one chunk). `chunk_steps` overrides CHUNK_STEPS —
+    chunks (default: one chunk). `chunk_steps` overrides the default —
     configs whose single step exceeds seconds (the O(N^3) dense-GRU
     stretch rows) must use chunk_steps=1: a 16-step chunk of a ~5 s step
     is ~80 s inside one device program, which trips the TPU execution
@@ -56,7 +73,7 @@ def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float3
     opt_state = opt.init(params)
     epoch_fn = make_epoch_fn(cfg, opt, use_pallas, precision)
 
-    chunk = chunk_steps or CHUNK_STEPS
+    chunk = chunk_steps or CHUNK_SIZES[0]
     n_chunks = max(1, steps // chunk)
     if n_chunks * chunk != steps:
         import sys
@@ -65,40 +82,71 @@ def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float3
               f"(multiple of chunk={chunk})", file=sys.stderr)
     steps = n_chunks * chunk
     n_warm = max(1, -(-warmup // chunk)) if warmup else 1
+    repeats = max(1, repeats)
+    max_reps = repeats + max(0, max_extra_repeats)
     rng = np.random.default_rng(seed)
     t_len = 4096
     data = jnp.asarray(rng.standard_normal((t_len, n_nodes)), dtype=jnp.float32)
+    n_dispatch = n_warm + max_reps * n_chunks
     his = [
         jnp.asarray(
             rng.integers(window, t_len - horizon, size=(chunk, batch)),
             dtype=jnp.int32,
         )
-        for _ in range(n_warm + n_chunks)
+        for _ in range(n_dispatch)
     ]
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_warm + n_chunks)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_dispatch)
 
     # warmup chunks (compile + cache warm)
     for i in range(n_warm):
         params, opt_state, losses = epoch_fn(
             params, opt_state, data, his[i], jax.random.split(keys[i], chunk)
         )
-    float(losses[-1])  # real materialization — on the tunneled axon backend,
-    # block_until_ready can return before remote execution finishes, so
-    # timings must be closed with a value transfer
+    final_loss = float(losses[-1])  # real materialization — on the tunneled
+    # axon backend, block_until_ready can return before remote execution
+    # finishes, so timings must be closed with a value transfer
 
-    t0 = time.perf_counter()
-    for i in range(n_warm, n_warm + n_chunks):
-        params, opt_state, losses = epoch_fn(
-            params, opt_state, data, his[i], jax.random.split(keys[i], chunk)
-        )
-    final_loss = float(losses[-1])  # forces the whole donated chain
-    elapsed = time.perf_counter() - t0
+    rep_step_times = []
+    nxt = n_warm
+    for rep in range(max_reps):
+        if rep >= repeats:
+            # only keep going when the measured spread is suspicious
+            med = float(np.median(rep_step_times))
+            spread = (max(rep_step_times) - min(rep_step_times)) / med
+            if spread <= spread_warn:
+                break
+            import sys
 
-    step_time = elapsed / steps
+            print(f"bench: spread {spread:.1%} > {spread_warn:.0%} after "
+                  f"{rep} repeats — running an extra repeat", file=sys.stderr)
+        t0 = time.perf_counter()
+        for i in range(nxt, nxt + n_chunks):
+            params, opt_state, losses = epoch_fn(
+                params, opt_state, data, his[i], jax.random.split(keys[i], chunk)
+            )
+        final_loss = float(losses[-1])  # forces the whole donated chain
+        rep_step_times.append((time.perf_counter() - t0) / steps)
+        nxt += n_chunks
+
+    step_time = float(np.median(rep_step_times))
+    spread = (max(rep_step_times) - min(rep_step_times)) / step_time
+    if spread > spread_warn:
+        import sys
+
+        print(f"bench: WARNING — per-step timing spread {spread:.1%} across "
+              f"{len(rep_step_times)} repeats exceeds {spread_warn:.0%}; the "
+              "transport may not be pipelining dispatches (CLAUDE.md). Median "
+              "reported; treat with suspicion and cross-check "
+              "benchmarks/results.json.", file=sys.stderr)
     windows_per_s = batch / step_time
-    # "edges" = entries of the dense learned N x N graph touched per
-    # Chebyshev conv: K orders x 2 stacks x batch, fwd only (SURVEY 3.3)
-    edges_per_step = batch * 4 * n_nodes * n_nodes * 2
+    # "edges" = entries of the dense learned N x N graph actually pushed
+    # through the Chebyshev conv per step: the T0 basis term is identically
+    # zero (base_model.py:129 quirk) and the fast path skips it
+    # (ops/pallas_graph.py k=0 skip), so 3 of the 4 orders execute —
+    # VERDICT r3 item 7: the effective count is the headline; the raw
+    # 4-order count ships alongside for continuity with rounds 1-3.
+    edges_per_step = batch * 3 * n_nodes * n_nodes * 2
+    edges_per_step_raw4 = batch * 4 * n_nodes * n_nodes * 2
     # speed-of-light accounting (VERDICT r2 item 3): analytic model FLOPs
     # vs the device's published bf16 matmul peak (utils/flops.py)
     from stemgnn_tpu.utils.flops import mfu as mfu_fn
@@ -107,21 +155,35 @@ def measure(batch=32, steps=96, warmup=None, use_pallas=False, precision="float3
     return {
         "windows_per_s": windows_per_s,
         "step_time_ms": step_time * 1e3,
+        "step_time_ms_min": min(rep_step_times) * 1e3,
+        "step_time_ms_max": max(rep_step_times) * 1e3,
+        "repeats": len(rep_step_times),
+        "spread": spread,
+        "chunk_steps": chunk,
         "edges_per_s": edges_per_step / step_time,
+        "edges_per_s_raw4": edges_per_step_raw4 / step_time,
         "loss": final_loss,
         # what forward() actually dispatched: use_pallas is silently dropped
-        # below cfg.pallas_min_nodes (tiny-graph fallback, config.py) — rows
-        # must record the effective path, not the requested flag
+        # below cfg.pallas_min_nodes (tiny-graph fallback, config.py), and
+        # the attention kernel has its own knob — record the per-kernel
+        # effective path, not the requested flag (advisor r3)
         "pallas_effective": bool(use_pallas and n_nodes >= cfg.pallas_min_nodes),
+        "pallas_attention_effective": bool(
+            use_pallas and n_nodes >= cfg.pallas_min_nodes
+            and cfg.pallas_attention and sparse_k is None
+        ),
+        "sparse_k": sparse_k,
         "mfu": mfu_stats,
     }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=96)
+    ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--warmup", type=int, default=16,
                     help="warmup steps (rounded UP to whole scan chunks)")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed repeats; median is the number of record")
     ap.add_argument("--batch", type=int, default=32)
     # measured on the attached v5e chip (round 2, re-validated after the
     # attention-bwd Mosaic block fix): pallas bf16 1.32 ms/step (24.2k
@@ -139,12 +201,17 @@ def main():
     ap.add_argument("--set-baseline-chunked", action="store_true",
                     help="freeze the measured value as the chunked-scan"
                          " methodology baseline (run with --no-pallas)")
+    ap.add_argument("--set-baseline-chunked64", action="store_true",
+                    help="freeze the measured value as the 64-step-chunk"
+                         " median-of-repeats methodology baseline (run with"
+                         " --no-pallas --f32; round-4 methodology)")
     args = ap.parse_args()
 
     res = measure(
         batch=args.batch,
         steps=args.steps,
         warmup=args.warmup,
+        repeats=args.repeats,
         use_pallas=args.pallas,
         precision="bfloat16" if args.bf16 else "float32",
     )
@@ -169,6 +236,17 @@ def main():
         os.makedirs(os.path.dirname(BASELINE_PATH), exist_ok=True)
         with open(BASELINE_PATH, "w") as f:
             json.dump(blob, f, indent=2)
+    if args.set_baseline_chunked64:
+        blob["windows_per_s_chunked64"] = res["windows_per_s"]
+        blob["chunked64_note"] = (
+            "64-step-chunk median-of-repeats methodology jnp float32 "
+            "single-chip ECG5000 (same measure() as the round-4+ headline; "
+            "frozen round 4). Spread at freeze: "
+            f"{res['spread']:.4f} over {res['repeats']} repeats."
+        )
+        os.makedirs(os.path.dirname(BASELINE_PATH), exist_ok=True)
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(blob, f, indent=2)
     if args.set_baseline or "windows_per_s" not in blob:
         blob["windows_per_s"] = res["windows_per_s"]
         blob.setdefault(
@@ -179,7 +257,10 @@ def main():
         with open(BASELINE_PATH, "w") as f:
             json.dump(blob, f, indent=2)
 
-    if "windows_per_s_chunked" in blob:
+    if "windows_per_s_chunked64" in blob:
+        baseline = blob["windows_per_s_chunked64"]
+        baseline_method = "chunked64-median"
+    elif "windows_per_s_chunked" in blob:
         baseline = blob["windows_per_s_chunked"]
         baseline_method = "chunked-scan"
     else:
@@ -195,12 +276,20 @@ def main():
                 "vs_baseline": round(res["windows_per_s"] / baseline, 4),
                 "extras": {
                     "step_time_ms": round(res["step_time_ms"], 3),
+                    "step_time_ms_min": round(res["step_time_ms_min"], 3),
+                    "step_time_ms_max": round(res["step_time_ms_max"], 3),
+                    "repeats": res["repeats"],
+                    "spread": round(res["spread"], 4),
+                    "chunk_steps": res["chunk_steps"],
                     "edges_per_s": round(res["edges_per_s"]),
+                    "edges_per_s_raw4": round(res["edges_per_s_raw4"]),
                     "device": str(jax.devices()[0]),
                     "pallas": args.pallas,
                     "pallas_effective": res["pallas_effective"],
+                    "pallas_attention_effective":
+                        res["pallas_attention_effective"],
                     "precision": "bfloat16" if args.bf16 else "float32",
-                    "method": "chunked-scan",
+                    "method": "chunked64-median",
                     "baseline_method": baseline_method,
                     "model_flops_per_step": res["mfu"]["model_flops_per_step"],
                     "achieved_tflops": round(res["mfu"]["achieved_tflops"], 2),

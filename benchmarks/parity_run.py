@@ -72,15 +72,17 @@ def run_jax(dataset: str, epoch: int, device: str, seed: int = 0) -> dict:
     }
 
 
-def run_torch(dataset: str, epoch: int, seed: int = 0) -> dict:
+def run_torch(dataset: str, epoch: int, seed: int = 0, threads: int = 0) -> dict:
     cmd = [sys.executable, os.path.join(REPO, "benchmarks", "torch_ref.py"),
            "--dataset", dataset, "--epoch", str(epoch), "--seed", str(seed)]
+    if threads:
+        cmd += ["--threads", str(threads)]
     t0 = time.time()
     proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     if proc.returncode != 0:
         raise RuntimeError(f"torch_ref failed:\n{proc.stdout}\n{proc.stderr}")
     with open(os.path.join(REPO, "output", dataset, "torch_ref",
-                           "result.json")) as f:
+                           f"result_s{seed}.json")) as f:
         res = json.load(f)
     return {
         "framework": "torch_reference_replica",
@@ -96,6 +98,21 @@ def run_torch(dataset: str, epoch: int, seed: int = 0) -> dict:
 
 
 def merge(entry: dict):
+    # concurrent parity lanes (one per CPU core) all read-modify-write this
+    # file; an exclusive lock keeps a lane's entry from being clobbered
+    import fcntl
+
+    lock_path = OUT_PATH + ".lock"
+    lock_f = open(lock_path, "w")
+    fcntl.flock(lock_f, fcntl.LOCK_EX)
+    try:
+        _merge_locked(entry)
+    finally:
+        fcntl.flock(lock_f, fcntl.LOCK_UN)
+        lock_f.close()
+
+
+def _merge_locked(entry: dict):
     blob = {"runs": []}
     if os.path.exists(OUT_PATH):
         with open(OUT_PATH) as f:
@@ -112,15 +129,25 @@ def merge(entry: dict):
         by_ds.setdefault(r["dataset"], {}).setdefault(r["framework"], []).append(r)
     for ds, sides in by_ds.items():
         if len(sides) == 2:
-            ts = [r["test_mae"] for r in sides["torch_reference_replica"]]
-            js = [r["test_mae"] for r in sides["stemgnn_tpu"]]
+            # keyed and SORTED by seed (advisor r3: a list ordered by merge
+            # time silently misleads anything that assumes seed order)
+            t_by_seed = {r.get("seed", 0): r["test_mae"]
+                         for r in sides["torch_reference_replica"]}
+            j_by_seed = {r.get("seed", 0): r["test_mae"]
+                         for r in sides["stemgnn_tpu"]}
+            ts = [t_by_seed[s] for s in sorted(t_by_seed)]
+            js = [j_by_seed[s] for s in sorted(j_by_seed)]
             t_mean = sum(ts) / len(ts)
             j_mean = sum(js) / len(js)
             rel = abs(j_mean - t_mean) / t_mean
             summary[ds] = {
                 "torch_mae_mean": round(t_mean, 6),
+                "torch_mae_by_seed": {str(s): round(t_by_seed[s], 6)
+                                      for s in sorted(t_by_seed)},
                 "torch_mae_per_seed": [round(v, 6) for v in ts],
                 "stemgnn_tpu_mae_mean": round(j_mean, 6),
+                "stemgnn_tpu_mae_by_seed": {str(s): round(j_by_seed[s], 6)
+                                            for s in sorted(j_by_seed)},
                 "stemgnn_tpu_mae_per_seed": [round(v, 6) for v in js],
                 "rel_mae_diff": round(rel, 4),
                 "within_1pct": bool(rel <= 0.01),
@@ -155,10 +182,14 @@ def main():
     ap.add_argument("--jax_device", type=str, default="",
                     help="'cpu' to force the CPU backend for the jax side")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--threads", type=int, default=0,
+                    help="torch.set_num_threads for the torch side (this box "
+                         "has 2 cores; 1 thread per lane lets two parity "
+                         "lanes run concurrently without thrash)")
     args = ap.parse_args()
 
     if args.side in ("both", "torch"):
-        merge(run_torch(args.dataset, args.epoch, args.seed))
+        merge(run_torch(args.dataset, args.epoch, args.seed, args.threads))
     if args.side in ("both", "jax"):
         merge(run_jax(args.dataset, args.epoch, args.jax_device, args.seed))
 

@@ -62,8 +62,10 @@ VARIANTS = {
 def main():
     ap = argparse.ArgumentParser()
     # steps round DOWN to whole scan chunks, warmup rounds UP (bench.measure)
-    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--warmup", type=int, default=16)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed repeats per row; median is recorded")
     ap.add_argument("--configs", type=str, default="ECG,PEMS07,PEMS03,COVID-19")
     # the shipping default (pallas_bf16) is measured by default — a matrix
     # that omits the production variant goes stale invisibly (round-2 lesson)
@@ -127,7 +129,7 @@ def main():
                     use_pallas=use_pallas, precision=precision,
                     n_nodes=n, window=w, horizon=h, multi=m, sparse_k=sparse_k,
                     gru_hidden=gru_hidden, gru_segment=gru_segment,
-                    chunk_steps=args.chunk or None,
+                    chunk_steps=args.chunk or None, repeats=args.repeats,
                 )
             except Exception as e:  # e.g. Pallas shape limits on a config
                 print(f"{name}/{vname}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
@@ -137,10 +139,18 @@ def main():
                 "batch": b, "variant": vname, "sparse_k": sparse_k,
                 "windows_per_s": round(res["windows_per_s"], 2),
                 "step_time_ms": round(res["step_time_ms"], 3),
+                "step_time_ms_min": round(res["step_time_ms_min"], 3),
+                "repeats": res["repeats"],
+                "spread": round(res["spread"], 4),
+                # effective edges (3 executed cheb orders — T0 is zero and
+                # the fast path skips it); raw 4-order count for continuity
                 "edges_per_s": round(res["edges_per_s"]),
+                "edges_per_s_raw4": round(res["edges_per_s_raw4"]),
                 # effective dispatch: pallas variants fall back to jnp below
-                # pallas_min_nodes (e.g. COVID-19 N=25) — label honestly
+                # pallas_min_nodes (e.g. COVID-19 N=25), and the attention
+                # kernel has its own knob + sparse path — label per kernel
                 "pallas_effective": res["pallas_effective"],
+                "pallas_attention_effective": res["pallas_attention_effective"],
                 # speed-of-light accounting (utils/flops.py): analytic step
                 # FLOPs, achieved TFLOP/s, fraction of the chip's bf16 peak
                 "model_flops_per_step": res["mfu"]["model_flops_per_step"],

@@ -129,13 +129,19 @@ def main():
     )
     model = _TorchStemGNN(cfg)
     # training-mode dropout on attention rows (base_model.py:103,161) — the
-    # test replica omits the module (rate 0 there); apply it here
-    dropout = nn.Dropout(args.dropout_rate)
+    # test replica omits the module (rate 0 there); apply it here. The
+    # dropout MUST be a registered submodule so model.train()/model.eval()
+    # toggle it exactly like the reference's self.dropout
+    # (base_model.py:103): a free-standing closure module stays in training
+    # mode during run_eval and corrupts best-by-val-MAE selection and the
+    # final test metrics (advisor r3 high finding — fixed round 4; all
+    # torch-side rows in parity_runs.json regenerated after the fix).
+    model.att_dropout = nn.Dropout(args.dropout_rate)
 
     orig_attention = model.self_graph_attention
 
     def attention_with_dropout(enc):
-        return dropout(orig_attention(enc))
+        return model.att_dropout(orig_attention(enc))
 
     model.self_graph_attention = attention_with_dropout
 
@@ -204,6 +210,11 @@ def main():
         "best_val_mae": float(best_mae),
     }
     with open(os.path.join(out_dir, "result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    # seed-suffixed copy: successive seed runs share out_dir, and the
+    # parity driver (parity_run.py) reads the result after the subprocess
+    # returns — the suffix keeps every seed's artifact recoverable
+    with open(os.path.join(out_dir, f"result_s{args.seed}.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 

@@ -77,7 +77,10 @@ def select_attention(use_pallas: bool):
 
 def select_attention_kq(use_pallas: bool):
     """Attention from precomputed [B, N] key/query projections — the
-    production dense path (fused-kq GRU scan, models/stemgnn.py)."""
+    production dense path. The projections come from POST-SCAN matmuls on
+    the GRU encoding (models/stemgnn.py); the in-scan kq fusion
+    (gru_kq_over_nodes) was measured 45% slower composed and is a
+    kept-but-rejected experiment (CLAUDE.md round-3 facts)."""
     if use_pallas:
         from stemgnn_tpu.ops.pallas_attention import attention_kq_pallas
 

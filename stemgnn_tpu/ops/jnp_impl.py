@@ -32,9 +32,10 @@ def attention_from_kq(key, query, alpha: float):
     """Rank-1 additive attention from precomputed projections.
 
     key/query: [B, N] — the rank-1 contractions of the GRU encoding
-    (base_model.py:153-158); with the fused-kq GRU scan
-    (models/stemgnn.py: gru_kq_over_nodes) the [B, N, N] encoding never
-    materializes. scores[b, i, j] = key[b, i] + query[b, j].
+    (base_model.py:153-158), computed in production by post-scan matmuls
+    (the in-scan fusion gru_kq_over_nodes is a kept-but-rejected
+    experiment — 45% slower composed, round-3 A/B).
+    scores[b, i, j] = key[b, i] + query[b, j].
     """
     scores = key[:, :, None] + query[:, None, :]  # [B, N, N]
     scores = jax.nn.leaky_relu(scores, negative_slope=alpha)
@@ -66,6 +67,15 @@ def cheb_graph_conv(mul_L, x):
     mul_L: [K, N, N] stacked Chebyshev-basis Laplacians (K=4, T0 = 0).
     x: [B, N, W] node features.
     Returns [B, K, N, W].
+
+    Layout note (round-4 MEASURED REJECTION): a node-major bnkw
+    ([B, N, K, W]) internal contract — which makes the spectral cell's
+    [B*N, K*W] row view a pure reshape — was implemented and A/B'd
+    in-step: 1.270 ms vs 1.208 ms baseline (spread 0.3%). The ~0.1 ms of
+    relayout copies the trace shows around the Pallas custom calls did
+    not disappear; XLA's layout assignment re-introduced equivalent
+    copies (e.g. {1,0,3,2} reshapes) to feed the order contraction, and
+    the cheb kernel's output transpose got worse. bknw stays.
     """
     return jnp.einsum("knm,bmw->bknw", mul_L, x)
 

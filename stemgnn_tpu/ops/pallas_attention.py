@@ -96,9 +96,12 @@ def _bwd_kernel(alpha_ref, key_ref, query_ref, p_ref, g_ref, dkey_ref, dquery_re
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def attention_kq_pallas(key, query, alpha: float):
     """Pallas twin of jnp_impl.attention_from_kq: fused rank-1 score +
-    LeakyReLU + row softmax from the [B, N] projections. The fused-kq GRU
-    scan (models/stemgnn.py) produces key/query directly, so this is the
-    production dense attention path — no [B, N, N] encoding exists."""
+    LeakyReLU + row softmax from the [B, N] projections. Production
+    computes key/query with post-scan matmuls on the GRU encoding
+    (models/stemgnn.py) and feeds them here; the in-scan kq fusion
+    (gru_kq_over_nodes) that would avoid materializing the encoding was
+    measured 45% slower composed and is kept only as a tested
+    experiment (round-3 A/B, CLAUDE.md)."""
     return _forward_kq(key, query, alpha)
 
 

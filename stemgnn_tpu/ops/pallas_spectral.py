@@ -5,19 +5,26 @@ Reference semantics: base_model.py:46-59 — full FFT along the window,
 widened spectrum, keep the real part.
 
 TPU-first design: the window W is tiny (12-28), so the FFT is NOT a
-butterfly — it is a matmul with a precomputed W x W DFT matrix, which
-puts the whole cell (DFT -> 6 GLU matmuls -> iDFT) on the MXU as one
-VMEM-resident chain per row tile. The K=4 Chebyshev channels are handled
+butterfly — it is a matmul with a precomputed W x W DFT matrix, and the
+forward DFT is FOLDED into the layer-0 GLU weights (VERDICT r3 item 2):
+(x @ C) @ W0 == x @ (C @ W0) is exact linear composition, so the fold
+(four [4W, 4Wm] matmuls, done once per step outside the kernel where
+params change) removes both forward-DFT matmuls from the per-row chain —
+matmuls whose 4W=48-wide operands padded to 128 lanes on BOTH dims and
+were pure overhead on the MXU. The K=4 Chebyshev channels are handled
 with block-diagonal DFT matrices over the flattened K*W axis, so the
 kernel is a pure row-parallel map over B*N rows:
 
-    rows [TR, 4W] -> R = rows @ Cf, I = rows @ Sf          (forward DFT)
-    3x: R = (R@Wl+bl) * sigmoid(R@Wr+br)  (even GLUs; odd GLUs for I)
+    rows [TR, 4W]:
+    R = (rows@(Cf@Wl0)+bl0) * sigmoid(rows@(Cf@Wr0)+br0)   (folded DFT+GLU0)
+    I = (rows@(Sf@Wl0')+bl0') * sigmoid(rows@(Sf@Wr0')+br0')
+    2x: R = (R@Wl+bl) * sigmoid(R@Wr+br)  (even GLUs; odd GLUs for I)
     out [TR, 4Wm] = R @ Ci + I @ Si                         (inverse DFT)
 
 Eight HBM round-trips in the jnp twin collapse into one read + one write.
-Backward pass: custom_vjp whose bwd recomputes through the jnp twin's
-VJP (bitwise-matching semantics, XLA-fused); see ops/__init__ dispatch.
+Backward pass: fused Pallas bwd kernel over the same folded weights; the
+layer-0 weight grads are un-folded outside (dW0 = Cf^T @ dAW0 — exact
+chain rule through the constant fold).
 """
 
 from __future__ import annotations
@@ -71,17 +78,17 @@ def _dft_matrices(w: int, k: int, wm: int):
     )
 
 
-def _kernel(x_ref, cf_ref, sf_ref, ci_ref, si_ref, *glu_refs):
+def _kernel(x_ref, ci_ref, si_ref, *glu_refs):
     out_ref = glu_refs[-1]
-    glu_refs = glu_refs[:-1]  # 24 refs: (wl, bl, wr, br) x 6 GLUs
+    glu_refs = glu_refs[:-1]  # 24 refs: (wl, bl, wr, br) x 6 GLUs;
+    # layer-0 wl/wr arrive PRE-FOLDED with the forward DFT (Cf@W / Sf@W)
     x = x_ref[:]
     # mixed precision: operands in the block dtype (bf16 on the fast path
     # halves HBM/VMEM traffic and runs the MXU at full rate), accumulation
     # always f32 via preferred_element_type
     cdtype = x_ref.dtype
     dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
-    real = dot(x, cf_ref[:])
-    imag = dot(x, sf_ref[:])
+    real = imag = x  # DFT folded into layer-0 weights
     for layer in range(3):
         # even GLU -> real, odd GLU -> imag (base_model.py:52-54)
         real, imag = real.astype(cdtype), imag.astype(cdtype)
@@ -108,6 +115,22 @@ def _flat_glu_args(glu_params):
     return args
 
 
+def _fold_dft(glu_args, cf, sf):
+    """Fold the forward DFT into the layer-0 GLU weight matrices.
+
+    Exact linear composition ((x@C)@W == x@(C@W), no bias on the DFT), so
+    forward semantics are unchanged up to float reassociation. The fold is
+    four [4W, 4Wm] f32 matmuls per step — trivial next to the per-row work
+    it deletes. glu_args layout per _flat_glu_args: GLU 0 (real chain)
+    at [0..3], GLU 1 (imag chain) at [4..7]; weights at offsets 0 and 2."""
+    out = list(glu_args)
+    out[0] = cf @ glu_args[0]
+    out[2] = cf @ glu_args[2]
+    out[4] = sf @ glu_args[4]
+    out[6] = sf @ glu_args[6]
+    return out
+
+
 def _forward(x, glu_params, multi: int, compute_dtype=jnp.float32):
     b, k, n, w = x.shape
     wm = w * multi
@@ -118,12 +141,14 @@ def _forward(x, glu_params, multi: int, compute_dtype=jnp.float32):
         xr = jnp.pad(xr, ((0, pad_rows), (0, 0)))
     total = rows + pad_rows
     cf, sf, ci, si = (jnp.asarray(m) for m in _dft_matrices(w, k, wm))
-    glu_args = _flat_glu_args(glu_params)
+    # fold the forward DFT into layer-0 weights (f32, BEFORE the bf16 cast
+    # so the fold itself never loses precision)
+    glu_args = _fold_dft(_flat_glu_args(glu_params), cf, sf)
     if compute_dtype != jnp.float32:
         # bf16 matmul operands, f32 accumulation in-kernel; biases stay f32
         # (added to f32 accumulators)
         xr = xr.astype(compute_dtype)
-        cf, sf, ci, si = (m.astype(compute_dtype) for m in (cf, sf, ci, si))
+        ci, si = (m.astype(compute_dtype) for m in (ci, si))
         glu_args = [
             a.astype(compute_dtype) if a.ndim == 2 and a.shape[0] > 1 else a
             for a in glu_args
@@ -133,7 +158,7 @@ def _forward(x, glu_params, multi: int, compute_dtype=jnp.float32):
                                   memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((ROW_TILE, k * w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        full(cf), full(sf), full(ci), full(si),
+        full(ci), full(si),
         *[full(a) for a in glu_args],
     ]
     out = pl.pallas_call(
@@ -146,15 +171,14 @@ def _forward(x, glu_params, multi: int, compute_dtype=jnp.float32):
         out_shape=jax.ShapeDtypeStruct((total, k * wm), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * total * (
-                (k * w) ** 2 * 2  # fwd DFT (R and I)
-                + 2 * (k * w) * (k * wm) * 2  # GLU layer 0
+                2 * (k * w) * (k * wm) * 2  # GLU layer 0 (DFT folded in)
                 + 4 * (k * wm) ** 2 * 2  # GLU layers 1-2
                 + 2 * (k * wm) ** 2  # inverse DFT
             ),
             bytes_accessed=4 * total * k * (w + wm),
             transcendentals=total * k * wm * 6,
         ),
-    )(xr, cf, sf, ci, si, *glu_args)
+    )(xr, ci, si, *glu_args)
     out = out[:rows].reshape(b, n, k, wm)
     return jnp.transpose(out, (0, 2, 1, 3))
 
@@ -162,13 +186,17 @@ def _forward(x, glu_params, multi: int, compute_dtype=jnp.float32):
 BWD_ROW_TILE = 128
 
 
-def _bwd_kernel(x_ref, g_ref, cf_ref, sf_ref, ci_ref, si_ref, *refs):
+def _bwd_kernel(x_ref, g_ref, ci_ref, si_ref, *refs):
     """Fused backward: recompute the fwd chain in VMEM, then backprop the
-    whole DFT->3xGLU->iDFT chain in one pass.
+    whole (folded-DFT GLU0)->2xGLU->iDFT chain in one pass.
 
-    refs = 24 GLU param refs, dx_ref, 24 GLU grad refs. The grad refs map
-    every grid step to the SAME block (constant index map): zeroed at
-    step 0, then accumulated across row tiles (sequential TPU grid)."""
+    refs = 24 GLU param refs (layer-0 weights pre-folded with the DFT),
+    dx_ref, 24 GLU grad refs. Layer-0 weight grads come out in FOLDED
+    space (dAW = x^T @ da); the caller un-folds them (dW = C^T @ dAW).
+    The grad refs map every grid step to the SAME block (constant index
+    map): zeroed at step 0, then accumulated across row tiles (sequential
+    TPU grid). With the DFT folded, dx falls directly out of the layer-0
+    backward (d[0] + d[1]) — no Cf^T/Sf^T matmuls."""
     glu_refs = refs[:24]
     dx_ref = refs[24]
     dglu_refs = refs[25:]
@@ -180,7 +208,7 @@ def _bwd_kernel(x_ref, g_ref, cf_ref, sf_ref, ci_ref, si_ref, *refs):
 
     # --- recompute forward, saving (input, linear, gate) per GLU ---
     x = x_ref[:]
-    cur = [dot(x, cf_ref[:]), dot(x, sf_ref[:])]  # [real, imag], f32
+    cur = [x, x]  # DFT folded into layer-0 weights
     saved = []
     for layer in range(3):
         for chain in range(2):  # 0 = real (even GLU), 1 = imag (odd GLU)
@@ -221,7 +249,7 @@ def _bwd_kernel(x_ref, g_ref, cf_ref, sf_ref, ci_ref, si_ref, *refs):
                     ref[:] += grad
 
             d[chain] = dot(da, wl.T) + dot(dspre, wr.T)
-    dx_ref[:] = dot(d[0], cf_ref[:].T) + dot(d[1], sf_ref[:].T)
+    dx_ref[:] = d[0] + d[1]
 
 
 def _backward(x, glu_params, g, multi: int, compute_dtype=jnp.float32):
@@ -242,11 +270,12 @@ def _backward(x, glu_params, g, multi: int, compute_dtype=jnp.float32):
         gr = jnp.pad(gr, ((0, pad_rows), (0, 0)))
     total = rows + pad_rows
     cf, sf, ci, si = (jnp.asarray(m) for m in _dft_matrices(w, k, wm))
-    glu_args = _flat_glu_args(glu_params)
+    # same folded layer-0 weights the forward ran with (f32 fold, then cast)
+    glu_args = _fold_dft(_flat_glu_args(glu_params), cf, sf)
     if compute_dtype != jnp.float32:
         xr = xr.astype(compute_dtype)
         gr = gr.astype(compute_dtype)
-        cf, sf, ci, si = (m.astype(compute_dtype) for m in (cf, sf, ci, si))
+        ci, si = (m.astype(compute_dtype) for m in (ci, si))
         glu_args = [
             a.astype(compute_dtype) if a.ndim == 2 and a.shape[0] > 1 else a
             for a in glu_args
@@ -259,7 +288,7 @@ def _backward(x, glu_params, g, multi: int, compute_dtype=jnp.float32):
     )
     in_specs = [
         row_spec(k * w), row_spec(k * wm),
-        full(cf), full(sf), full(ci), full(si),
+        full(ci), full(si),
         *[full(a) for a in glu_args],
     ]
     # grads accumulate in f32 across the whole grid
@@ -277,10 +306,18 @@ def _backward(x, glu_params, g, multi: int, compute_dtype=jnp.float32):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-    )(xr, gr, cf, sf, ci, si, *glu_args)
+    )(xr, gr, ci, si, *glu_args)
     dx = outs[0][:rows].reshape(b, n, k, w)
     dx = jnp.transpose(dx, (0, 2, 1, 3)).astype(x.dtype)
     flat = list(outs[1:])
+    # un-fold the layer-0 weight grads: the kernel accumulated dAW = x^T@da
+    # in folded space (AW = C@W), so dW = C^T @ dAW — exact chain rule
+    # through the constant DFT fold (the bf16 cast backprops as identity,
+    # matching jax's own convert_element_type VJP)
+    flat[0] = cf.T @ flat[0]
+    flat[2] = cf.T @ flat[2]
+    flat[4] = sf.T @ flat[4]
+    flat[6] = sf.T @ flat[6]
     # rebuild the exact glu_params pytree: leaf order per GLU is
     # [left.b, left.w, right.b, right.w] (dict keys iterate sorted),
     # while the kernel outputs follow _flat_glu_args order (wl,bl,wr,br)

@@ -86,8 +86,8 @@ def _ring_attention_local(key_blk, query_blk, alpha, axis_name):
 
 
 def ring_attention_kq(mesh: Mesh, key, query, alpha: float):
-    """Ring attention from precomputed [B, N] projections (the fused-kq GRU
-    scan produces these directly — no [B, N, N] encoding exists).
+    """Ring attention from precomputed [B, N] projections (production
+    computes them with post-scan matmuls on the GRU encoding).
 
     Returns [B, N, N] row-softmax attention, row-block sharded over
     'graph'. N must be divisible by the 'graph' axis size.

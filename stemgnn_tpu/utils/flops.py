@@ -116,11 +116,13 @@ def peak_tflops_bf16(device_kind: str) -> Optional[float]:
 
 
 def mfu(cfg: StemGNNConfig, batch: int, step_time_s: float,
-        device_kind: str) -> Optional[Dict[str, float]]:
+        device_kind: str) -> Dict[str, float]:
     """Achieved TFLOP/s and model-FLOP utilization for a measured step.
 
-    Returns {model_flops_per_step, achieved_tflops, peak_tflops_bf16,
-    mfu_vs_bf16_peak} or None when the device peak is unknown (CPU)."""
+    Always returns a dict with {model_flops_per_step, achieved_tflops};
+    the {peak_tflops_bf16, mfu_vs_bf16_peak} keys are included only when
+    the device peak is known (omitted on e.g. CPU) — callers in
+    bench.py/suite.py rely on the dict always existing."""
     peak = peak_tflops_bf16(device_kind)
     flops = train_step_flops(cfg, batch)
     achieved = flops / step_time_s / 1e12

@@ -50,7 +50,11 @@ def test_roofline_schema():
     for r in blob["rows"]:
         assert r["fwd_ms"] > 0 and r["flops_fwd"] > 0
         assert r["bound"] in ("compute", "memory")
-    assert blob["peak_tflops_bf16"] == 394.0  # v5e
+    # the recorded peak must match the device the artifact says it ran on
+    # (advisor r3: a hard-pinned 394.0 breaks on any other chip)
+    from stemgnn_tpu.utils.flops import peak_tflops_bf16
+
+    assert blob["peak_tflops_bf16"] == peak_tflops_bf16(blob["device_kind"])
 
 
 def test_convergence_artifact():
@@ -66,11 +70,52 @@ def test_parity_runs_artifact():
     frameworks = {r["framework"] for r in blob["runs"]}
     assert frameworks == {"torch_reference_replica", "stemgnn_tpu"}
     assert "ECG_data" in blob["summary"]
-    # the north-star headline: seed-0 ECG pair within the 1% bar
+    # the north-star headline: seed-0 ECG pair within the 1% bar —
+    # looked up BY SEED (advisor r3: per_seed lists were merge-ordered)
     ecg = blob["summary"]["ECG_data"]
-    assert abs(ecg["stemgnn_tpu_mae_per_seed"][0]
-               - ecg["torch_mae_per_seed"][0]) / ecg["torch_mae_per_seed"][0] <= 0.01
+    if "torch_mae_by_seed" in ecg:
+        t0 = ecg["torch_mae_by_seed"]["0"]
+        j0 = ecg["stemgnn_tpu_mae_by_seed"]["0"]
+    else:  # pre-round-4 artifact layout
+        t0 = ecg["torch_mae_per_seed"][0]
+        j0 = ecg["stemgnn_tpu_mae_per_seed"][0]
+    assert abs(j0 - t0) / t0 <= 0.01
     # PeMS07: multi-seed, framework gap below the reference's seed spread
     pems = blob["summary"].get("PeMS07")
     if pems and "gap_below_seed_noise" in pems:
         assert pems["gap_below_seed_noise"]
+
+
+def test_bench_capture_consistent_with_suite_matrix():
+    """Cross-artifact sanity (VERDICT r3 item 9): the committed
+    driver-captured headline (BENCH_r*.json) must sit within a tolerance
+    band of the suite matrix's matching row, so a transport-glitched
+    capture (round 3: 3.09 ms recorded against a 1.3 ms step) fails a
+    test instead of shipping silently.
+
+    Only benches produced by the round-4+ robust harness (which records
+    `repeats`/`spread` in extras) are checked — earlier artifacts are
+    historical record of the old methodology."""
+    import glob
+
+    repo = os.path.dirname(BENCH)
+    benches = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+    if not benches:
+        pytest.skip("no BENCH_r*.json artifacts")
+    with open(benches[-1]) as f:
+        bench = json.load(f)
+    parsed = bench.get("parsed") or {}
+    extras = parsed.get("extras") or {}
+    if "repeats" not in extras:
+        pytest.skip("latest bench predates the median-of-repeats harness")
+    suite = _load("results.json")
+    rows = [r for r in suite["rows"]
+            if r["config"] == "ECG" and r["variant"] == "pallas_bf16"]
+    if not rows:
+        pytest.skip("no ECG/pallas_bf16 suite row")
+    ratio = parsed["value"] / rows[0]["windows_per_s"]
+    assert 0.7 <= ratio <= 1.43, (
+        f"bench headline {parsed['value']} windows/s vs suite row "
+        f"{rows[0]['windows_per_s']} — ratio {ratio:.2f} outside the "
+        "0.7-1.43 consistency band; re-measure (transport glitch?)"
+    )

@@ -105,3 +105,26 @@ def test_synthetic_deterministic(tmp_path):
     path = ensure_dataset("COVID-19", str(tmp_path))
     loaded = dp.load_csv(path)
     assert loaded.shape[1] == 25
+
+
+def test_real_csv_takes_precedence_over_synthesis(tmp_path):
+    """VERDICT r3 item 8: ensure_dataset must load a user-dropped REAL CSV
+    verbatim and never overwrite it with synthesis — the path the
+    published-results table (BASELINE.md) will be validated through once
+    real data is available (the bundled CSVs are stripped from the
+    reference mount, /root/reference/.MISSING_LARGE_BLOBS:1-2)."""
+    # hand-made "real" ECG_data.csv: tiny, with a header row like the
+    # bundled originals (pd.read_csv consumes row 0 — main.py:42)
+    rows = np.arange(12, dtype=np.float64).reshape(4, 3) * 1.5 + 7.0
+    path = tmp_path / "ECG_data.csv"
+    header = "a,b,c"
+    np.savetxt(path, rows, delimiter=",", header=header, comments="")
+    before = path.read_bytes()
+
+    got = ensure_dataset("ECG_data", str(tmp_path))
+    assert got == str(path)
+    assert path.read_bytes() == before  # untouched — no re-synthesis
+    loaded = dp.load_csv(got)
+    # loaded verbatim (header consumed, data rows intact — NOT the
+    # synthetic 5000x140 stand-in)
+    np.testing.assert_allclose(loaded, rows)

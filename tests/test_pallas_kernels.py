@@ -246,8 +246,9 @@ def test_fused_backward_multi_tile_accumulation():
 
 
 def test_attention_kq_matches_twin_and_grads(params):
-    """The kq-level kernel (production dense path: fused-kq GRU feeds
-    [B, N] projections straight in) == jnp twin, values and grads."""
+    """The kq-level kernel (production dense path; key/query arrive from
+    post-scan matmuls on the GRU encoding) == jnp twin, values and
+    grads."""
     from stemgnn_tpu.ops.pallas_attention import attention_kq_pallas
 
     rng = np.random.default_rng(11)
@@ -277,7 +278,8 @@ def test_attention_kq_matches_twin_and_grads(params):
 def test_gru_kq_fusion_matches_composed(params):
     """gru_kq_over_nodes (accumulators carried in the scan) == the
     composed gru_over_nodes -> swap -> rank-1 projections, values AND
-    gradients (the fused path is the production dense path)."""
+    gradients. The fusion is a kept-but-rejected experiment (45% slower
+    composed, round-3 A/B) — pinned so it stays correct if revisited."""
     rng = np.random.default_rng(13)
     b, w, n = 4, CFG.window_size, CFG.units
     x = jnp.asarray(rng.standard_normal((b, w, n)), jnp.float32)
