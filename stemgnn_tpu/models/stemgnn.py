@@ -116,7 +116,7 @@ def param_count(params: Params) -> int:
 # ---------------------------------------------------------------------------
 
 
-def gru_over_nodes(gru: Params, x, unroll: int = 1):
+def gru_over_nodes(gru: Params, x, unroll: int = 1, remat: bool = False):
     """torch nn.GRU applied with the NODE axis as the sequence (base_model.py:137).
 
     x: [B, W, N]. The reference feeds x.permute(2,0,1) = [N, B, W] to a
@@ -127,6 +127,16 @@ def gru_over_nodes(gru: Params, x, unroll: int = 1):
     TPU design: the input projection for all N steps is one [N*B, W] @
     [W, 3N] matmul hoisted out of the scan; the recurrence itself is a
     `lax.scan` of [B, N] @ [N, 3N] matmuls.
+
+    remat=True wraps the step in jax.checkpoint so the backward scan
+    recomputes the gates from (h, x_proj) instead of round-tripping the
+    ~10 saved [N, B, N] residual stacks through HBM (~25 MB/step at
+    flagship shapes). Opt-in: the round-4 in-step A/B measured a
+    tie-to-slight-loss (median 1.225 vs 1.191 ms, mins equal at ~1.18 —
+    the recompute adds per-step work to an already latency-bound chain
+    and XLA overlaps the residual writes), so the default stays False;
+    the knob matters for memory-constrained large-N configs where the
+    residual stacks are the HBM high-water mark.
     """
     b, w, n = x.shape
     xs = jnp.transpose(x, (2, 0, 1))  # [N, B, W]
@@ -143,6 +153,8 @@ def gru_over_nodes(gru: Params, x, unroll: int = 1):
         h_new = (1.0 - z) * ncand + z * h
         return h_new, h_new
 
+    if remat:
+        step = jax.checkpoint(step)
     h0 = jnp.zeros((b, n), x.dtype)
     _, hs = jax.lax.scan(step, h0, x_proj, unroll=unroll)  # hs: [N, B, N]
     return jnp.transpose(hs, (1, 0, 2))  # [B, N_seq, N_hid]
