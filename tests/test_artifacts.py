@@ -119,3 +119,28 @@ def test_bench_capture_consistent_with_suite_matrix():
         f"{rows[0]['windows_per_s']} — ratio {ratio:.2f} outside the "
         "0.7-1.43 consistency band; re-measure (transport glitch?)"
     )
+
+
+def test_crossover_artifact():
+    """Dense-vs-sparse mid-N characterization (VERDICT r3 item 6): rows
+    for every (N, regime) pair measured, speedups + a recommendation
+    block derived from them."""
+    blob = _load("crossover.json")
+    rows = blob["rows"]
+    regimes = {r["regime"] for r in rows}
+    assert {"dense", "sparse_k64", "seg_gru"} <= regimes
+    ns = {r["n"] for r in rows}
+    assert {512, 1024, 2048, 4096} <= ns
+    for r in rows:
+        assert r["step_time_ms"] > 0
+    rec = blob["recommendation"]
+    assert "sparse_k64_worth_it_from_n" in rec
+    assert "seg_gru_worth_it_from_n" in rec
+    # the speedup table must be internally consistent with the rows
+    by = {}
+    for r in rows:
+        by.setdefault(r["n"], {})[r["regime"]] = r["step_time_ms"]
+    for n, t in by.items():
+        if "dense" in t and "seg_gru" in t:
+            want = round(t["dense"] / t["seg_gru"], 2)
+            assert abs(blob["speedup_vs_dense"][str(n)]["seg_gru"] - want) < 0.011
