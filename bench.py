@@ -177,6 +177,65 @@ def measure(batch=32, steps=128, warmup=None, use_pallas=False, precision="float
     }
 
 
+def measure_eval(batch=32, steps=128, warmup=None, use_pallas=False,
+                 precision="float32", n_nodes=140, window=12, horizon=3,
+                 multi=5, seed=0, chunk_steps=None, repeats=3,
+                 max_extra_repeats=2, spread_warn=0.15):
+    """Forward-only (serving/eval) throughput through the engine's batched
+    eval program (make_eval_epoch_fn — one lax.scan device program per
+    chunk, the same path validate()/test() run). Same chunked
+    median-of-repeats methodology as measure()."""
+    from stemgnn_tpu.train.engine import make_eval_epoch_fn
+
+    cfg = StemGNNConfig(units=n_nodes, window_size=window, horizon=horizon,
+                        multi_layer=multi)
+    params = stemgnn.init_params(jax.random.PRNGKey(seed), cfg)
+    eval_epoch = make_eval_epoch_fn(cfg, use_pallas, precision)
+
+    chunk = chunk_steps or CHUNK_SIZES[0]
+    n_chunks = max(1, steps // chunk)
+    steps = n_chunks * chunk
+    n_warm = max(1, -(-warmup // chunk)) if warmup else 1
+    repeats = max(1, repeats)
+    max_reps = repeats + max(0, max_extra_repeats)
+    rng = np.random.default_rng(seed)
+    t_len = 4096
+    data = jnp.asarray(rng.standard_normal((t_len, n_nodes)), dtype=jnp.float32)
+    n_dispatch = n_warm + max_reps * n_chunks
+    his = [
+        jnp.asarray(rng.integers(window, t_len - horizon,
+                                 size=(chunk, batch)), dtype=jnp.int32)
+        for _ in range(n_dispatch)
+    ]
+    for i in range(n_warm):
+        fs, ys = eval_epoch(params, data, his[i])
+    float(fs[-1, -1, 0, 0])  # value transfer closes the timing (CLAUDE.md)
+
+    rep_step_times = []
+    nxt = n_warm
+    for rep in range(max_reps):
+        if rep >= repeats:
+            med = float(np.median(rep_step_times))
+            if (max(rep_step_times) - min(rep_step_times)) / med <= spread_warn:
+                break
+        t0 = time.perf_counter()
+        for i in range(nxt, nxt + n_chunks):
+            fs, ys = eval_epoch(params, data, his[i])
+        float(fs[-1, -1, 0, 0])
+        rep_step_times.append((time.perf_counter() - t0) / steps)
+        nxt += n_chunks
+    step_time = float(np.median(rep_step_times))
+    return {
+        "windows_per_s": batch / step_time,
+        "step_time_ms": step_time * 1e3,
+        "step_time_ms_min": min(rep_step_times) * 1e3,
+        "step_time_ms_max": max(rep_step_times) * 1e3,
+        "repeats": len(rep_step_times),
+        "spread": (max(rep_step_times) - min(rep_step_times)) / step_time,
+        "chunk_steps": chunk,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=128)
@@ -205,7 +264,38 @@ def main():
                     help="freeze the measured value as the 64-step-chunk"
                          " median-of-repeats methodology baseline (run with"
                          " --no-pallas --f32; round-4 methodology)")
+    ap.add_argument("--mode", choices=["train", "eval"], default="train",
+                    help="eval = forward-only serving throughput through the"
+                         " batched eval program; measures BOTH the requested"
+                         " variant and the jnp-f32 reference in one run and"
+                         " reports their ratio as vs_baseline")
     args = ap.parse_args()
+
+    if args.mode == "eval":
+        precision = "bfloat16" if args.bf16 else "float32"
+        res = measure_eval(batch=args.batch, steps=args.steps,
+                           warmup=args.warmup, repeats=args.repeats,
+                           use_pallas=args.pallas, precision=precision)
+        ref = measure_eval(batch=args.batch, steps=args.steps,
+                           warmup=args.warmup, repeats=args.repeats,
+                           use_pallas=False, precision="float32")
+        print(json.dumps({
+            "metric": "eval_windows_per_sec",
+            "value": round(res["windows_per_s"], 2),
+            "unit": "windows/s",
+            "vs_baseline": round(res["windows_per_s"] / ref["windows_per_s"], 4),
+            "extras": {
+                "step_time_ms": round(res["step_time_ms"], 3),
+                "spread": round(res["spread"], 4),
+                "repeats": res["repeats"],
+                "jnp_f32_windows_per_s": round(ref["windows_per_s"], 2),
+                "device": str(jax.devices()[0]),
+                "pallas": args.pallas,
+                "precision": precision,
+                "baseline_method": "same-run jnp-f32 eval",
+            },
+        }))
+        return
 
     res = measure(
         batch=args.batch,
