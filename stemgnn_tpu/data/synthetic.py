@@ -25,6 +25,11 @@ import numpy as np
 DATASET_SHAPES = {
     "ECG_data": (5000, 140),
     "PeMS07": (12672, 228),
+    # full-length stand-in under its own name: the committed
+    # dataset/PeMS07.csv is the T=1500 parity stand-in (kept so the
+    # multi-seed parity rows stay reproducible against their exact data);
+    # this name synthesizes the full documented length for scale runs
+    "PeMS07-full": (12672, 228),
     "METR-LA": (34272, 207),
     "PEMS-BAY": (52116, 325),
     "PEMS03": (26208, 358),
