@@ -113,6 +113,12 @@ class TrainConfig:
     leakyrelu_rate: float = 0.2
     # --- framework additions (no reference counterpart) ---
     seed: int = 0  # torch.manual_seed(0) at main.py:52
+    # -1 = dropout stream derives from `seed` (default). >=0 decouples the
+    # per-epoch dropout key root from init/shuffle — the variance-bisect
+    # knob (PARITY.md "known asymmetry"): rerunning a seed with a
+    # different dropout_seed isolates how much of the seed-to-seed MAE
+    # spread the dropout bitstream alone explains.
+    dropout_seed: int = -1
     use_pallas: bool = False  # route hot ops through Pallas kernels
     data_axis: int = 1  # mesh size along 'data' (DP)
     graph_axis: int = 1  # mesh size along 'graph' (node-block partition)

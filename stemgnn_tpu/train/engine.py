@@ -429,6 +429,11 @@ def train(
 
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)
+    if cfg.dropout_seed >= 0:
+        # decouple the dropout stream from init/shuffle (variance-bisect
+        # knob; config.py dropout_seed). Stateless per-epoch derivation
+        # below (fold_in(key, epoch)) keeps --resume bitwise either way.
+        key = jax.random.PRNGKey(cfg.dropout_seed)
     params = stemgnn.init_params(init_key, mcfg)
     if cfg.param_dtype != "float32":
         params = jax.tree.map(lambda a: a.astype(cfg.param_dtype), params)

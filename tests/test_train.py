@@ -278,3 +278,24 @@ def test_sync_ckpt_mode_equivalent(tmp_path_factory, tiny_cfg, tiny_data):
     engine.train(train_data, valid_data, cfg, out)
     assert os.path.exists(os.path.join(out, "0_stemgnn.ckpt"))
     assert os.path.exists(os.path.join(out, "_stemgnn.ckpt"))
+
+
+def test_dropout_seed_decouples_stream(tmp_path_factory, tiny_cfg, tiny_data):
+    """--dropout_seed (variance-bisect knob, config.py): -1 (default)
+    reproduces the coupled stream bitwise; >=0 changes ONLY the dropout
+    bitstream (init/shuffle stay seed-derived), so the loss trajectory
+    diverges from the default run."""
+    train_data, valid_data, _ = _split(tiny_data)
+
+    def losses_of(cfg):
+        out = str(tmp_path_factory.mktemp("ds"))
+        engine.train(train_data, valid_data, cfg, out)
+        with open(os.path.join(out, "metrics.jsonl")) as f:
+            return [json.loads(l)["loss"] for l in f
+                    if json.loads(l)["event"] == "epoch"]
+
+    base = losses_of(tiny_cfg)
+    same = losses_of(dataclasses.replace(tiny_cfg, dropout_seed=-1))
+    other = losses_of(dataclasses.replace(tiny_cfg, dropout_seed=1234))
+    np.testing.assert_allclose(base, same, rtol=0)  # bitwise default
+    assert not np.allclose(base, other, rtol=1e-6)  # stream decoupled
