@@ -26,19 +26,20 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "variance_bisect.json")
 
 
-def run(dataset, epoch, seed, dropout_seed):
+def run(dataset, epoch, seed, dropout_seed, shuffle_seed=-1):
     from stemgnn_tpu.config import TrainConfig
     from stemgnn_tpu.data import ensure_dataset, load_csv, split_by_ratio
     from stemgnn_tpu.train.engine import test, train
 
     cfg = TrainConfig(dataset=dataset, epoch=epoch, compute_dtype="float32",
                       seed=seed, dropout_seed=dropout_seed,
+                      shuffle_seed=shuffle_seed,
                       data_dir=os.path.join(REPO, "dataset"),
                       output_dir=os.path.join(REPO, "output"))
     data = load_csv(ensure_dataset(cfg.dataset, cfg.data_dir))
     tr, va, te = split_by_ratio(data, cfg.train_length, cfg.valid_length,
                                 cfg.test_length)
-    tag = f"bisect_s{seed}_d{dropout_seed}"
+    tag = f"bisect_s{seed}_d{dropout_seed}_h{shuffle_seed}"
     rt = os.path.join(cfg.output_dir, dataset, tag + "_train")
     rs = os.path.join(cfg.output_dir, dataset, tag + "_test")
     t0 = time.time()
@@ -46,6 +47,7 @@ def run(dataset, epoch, seed, dropout_seed):
     perf = test(te, cfg, rt, rs)
     return {
         "dataset": dataset, "seed": seed, "dropout_seed": dropout_seed,
+        "shuffle_seed": shuffle_seed,
         "epochs": epoch, "test_mae": float(perf["mae"]),
         "test_rmse": float(perf["rmse"]),
         "wall_s": round(time.time() - t0, 1),
@@ -57,7 +59,8 @@ def main():
     ap.add_argument("--dataset", default="ECG_data")
     ap.add_argument("--epoch", type=int, default=50)
     ap.add_argument("--pairs", default="1:101,2:202",
-                    help="comma list of seed:dropout_seed re-runs")
+                    help="comma list of seed:dropout_seed[:shuffle_seed]"
+                         " re-runs (-1 = keep coupled to seed)")
     args = ap.parse_args()
 
     blob = {"runs": []}
@@ -65,11 +68,14 @@ def main():
         with open(OUT) as f:
             blob = json.load(f)
     for pair in args.pairs.split(","):
-        seed, dseed = (int(v) for v in pair.split(":"))
-        res = run(args.dataset, args.epoch, seed, dseed)
+        parts = [int(v) for v in pair.split(":")]
+        seed, dseed = parts[0], parts[1]
+        hseed = parts[2] if len(parts) > 2 else -1
+        res = run(args.dataset, args.epoch, seed, dseed, hseed)
         blob["runs"] = [r for r in blob["runs"]
                         if not (r["seed"] == seed
                                 and r["dropout_seed"] == dseed
+                                and r.get("shuffle_seed", -1) == hseed
                                 and r["dataset"] == args.dataset)]
         blob["runs"].append(res)
         with open(OUT, "w") as f:

@@ -117,8 +117,13 @@ class TrainConfig:
     # per-epoch dropout key root from init/shuffle — the variance-bisect
     # knob (PARITY.md "known asymmetry"): rerunning a seed with a
     # different dropout_seed isolates how much of the seed-to-seed MAE
-    # spread the dropout bitstream alone explains.
+    # spread the dropout bitstream alone explains. (Measured round 4:
+    # almost none — high seeds stayed high under fresh dropout streams.)
     dropout_seed: int = -1
+    # -1 = per-epoch batch shuffle derives from `seed` (default). >=0
+    # decouples the shuffle stream the same way (second bisect arm: with
+    # dropout ruled out, this separates shuffle order from param init).
+    shuffle_seed: int = -1
     use_pallas: bool = False  # route hot ops through Pallas kernels
     data_axis: int = 1  # mesh size along 'data' (DP)
     graph_axis: int = 1  # mesh size along 'graph' (node-block partition)

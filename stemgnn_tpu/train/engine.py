@@ -601,9 +601,10 @@ def _train_epochs(
         # so a --resume run at epoch k reproduces the uninterrupted run's
         # batch order and key stream bitwise (multi-host: every process
         # derives the same values from the same seed)
+        shuffle_root = cfg.shuffle_seed if cfg.shuffle_seed >= 0 else cfg.seed
         batches = train_set.epoch_batches(
             cfg.batch_size, shuffle=True,
-            rng=np.random.default_rng([cfg.seed, epoch]),
+            rng=np.random.default_rng([shuffle_root, epoch]),
         )
         n_full = len(batches) - (1 if len(batches[-1]) < cfg.batch_size else 0)
         cnt = len(batches)
