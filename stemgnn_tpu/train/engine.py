@@ -411,7 +411,12 @@ def train(
     valid_data: np.ndarray,
     cfg: TrainConfig,
     result_file: str,
+    init_params_override=None,
 ) -> Tuple[Dict, Optional[Dict]]:
+    """init_params_override: a ready params pytree used INSTEAD of
+    stemgnn.init_params (experiment hook — e.g. the torch-init-transplant
+    arm of the seed-variance investigation, benchmarks/variance_bisect.py;
+    everything else — optimizer, shuffle, dropout streams — is unchanged)."""
     node_cnt = train_data.shape[1]
     mcfg = cfg.model_config(node_cnt)
     if len(train_data) == 0:
@@ -434,7 +439,10 @@ def train(
         # knob; config.py dropout_seed). Stateless per-epoch derivation
         # below (fold_in(key, epoch)) keeps --resume bitwise either way.
         key = jax.random.PRNGKey(cfg.dropout_seed)
-    params = stemgnn.init_params(init_key, mcfg)
+    if init_params_override is not None:
+        params = jax.tree.map(jnp.asarray, init_params_override)
+    else:
+        params = stemgnn.init_params(init_key, mcfg)
     if cfg.param_dtype != "float32":
         params = jax.tree.map(lambda a: a.astype(cfg.param_dtype), params)
 
