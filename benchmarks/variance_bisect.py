@@ -128,7 +128,7 @@ def main():
         res = run(args.dataset, args.epoch, seed, dseed, hseed)
         blob["runs"] = [r for r in blob["runs"]
                         if not (r["seed"] == seed
-                                and r["dropout_seed"] == dseed
+                                and r.get("dropout_seed") == dseed
                                 and r.get("shuffle_seed", -1) == hseed
                                 and r["dataset"] == args.dataset)]
         blob["runs"].append(res)
