@@ -59,6 +59,11 @@ def load_jax_init_into_torch(model, params):
                 g.left.bias.copy_(t(gp["left"]["b"]))
                 g.right.weight.copy_(t(gp["right"]["w"]).T)
                 g.right.bias.copy_(t(gp["right"]["b"]))
+        # output head (round-4 advisor: omitting fc1/fc2 left a torch-drawn
+        # head inside the "jax init" — a contaminated transplant)
+        for name in ("fc1", "fc2"):
+            getattr(model, name).weight.copy_(t(params[name]["w"]).T)
+            getattr(model, name).bias.copy_(t(params[name]["b"]))
     return model
 
 

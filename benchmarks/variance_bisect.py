@@ -26,20 +26,26 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "variance_bisect.json")
 
 
-def run(dataset, epoch, seed, dropout_seed, shuffle_seed=-1):
+def run(dataset, epoch, seed, dropout_seed, shuffle_seed=-1,
+        init_stream=None):
+    """init_stream: None = TrainConfig default (since round 5 that is
+    'torch' — the MT19937 mitigation); rows are stamped with the stream
+    actually used.  Pre-round-5 rows in the JSON (no 'init_stream' key,
+    no 'init' key) were the then-default threefry."""
     from stemgnn_tpu.config import TrainConfig
     from stemgnn_tpu.data import ensure_dataset, load_csv, split_by_ratio
     from stemgnn_tpu.train.engine import test, train
 
+    kw = {} if init_stream is None else {"init_stream": init_stream}
     cfg = TrainConfig(dataset=dataset, epoch=epoch, compute_dtype="float32",
                       seed=seed, dropout_seed=dropout_seed,
                       shuffle_seed=shuffle_seed,
                       data_dir=os.path.join(REPO, "dataset"),
-                      output_dir=os.path.join(REPO, "output"))
+                      output_dir=os.path.join(REPO, "output"), **kw)
     data = load_csv(ensure_dataset(cfg.dataset, cfg.data_dir))
     tr, va, te = split_by_ratio(data, cfg.train_length, cfg.valid_length,
                                 cfg.test_length)
-    tag = f"bisect_s{seed}_d{dropout_seed}_h{shuffle_seed}"
+    tag = f"bisect_s{seed}_d{dropout_seed}_h{shuffle_seed}_{cfg.init_stream}"
     rt = os.path.join(cfg.output_dir, dataset, tag + "_train")
     rs = os.path.join(cfg.output_dir, dataset, tag + "_test")
     t0 = time.time()
@@ -47,7 +53,7 @@ def run(dataset, epoch, seed, dropout_seed, shuffle_seed=-1):
     perf = test(te, cfg, rt, rs)
     return {
         "dataset": dataset, "seed": seed, "dropout_seed": dropout_seed,
-        "shuffle_seed": shuffle_seed,
+        "shuffle_seed": shuffle_seed, "init_stream": cfg.init_stream,
         "epochs": epoch, "test_mae": float(perf["mae"]),
         "test_rmse": float(perf["rmse"]),
         "wall_s": round(time.time() - t0, 1),
@@ -103,6 +109,9 @@ def main():
     ap.add_argument("--transplant", default="",
                     help="comma list of seeds to run with TORCH-drawn inits"
                          " (replaces --pairs when set)")
+    ap.add_argument("--init_stream", default=None,
+                    help="override TrainConfig.init_stream for --pairs runs"
+                         " (None = production default)")
     args = ap.parse_args()
 
     blob = {"runs": []}
@@ -125,11 +134,15 @@ def main():
         parts = [int(v) for v in pair.split(":")]
         seed, dseed = parts[0], parts[1]
         hseed = parts[2] if len(parts) > 2 else -1
-        res = run(args.dataset, args.epoch, seed, dseed, hseed)
+        res = run(args.dataset, args.epoch, seed, dseed, hseed,
+                  init_stream=args.init_stream)
+        # pre-r5 rows carry no init_stream key == threefry; only replace
+        # rows of the SAME stream so the two arms coexist
         blob["runs"] = [r for r in blob["runs"]
                         if not (r["seed"] == seed
                                 and r.get("dropout_seed") == dseed
                                 and r.get("shuffle_seed", -1) == hseed
+                                and r.get("init_stream") == res["init_stream"]
                                 and r["dataset"] == args.dataset)]
         blob["runs"].append(res)
         with open(OUT, "w") as f:

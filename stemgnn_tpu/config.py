@@ -113,6 +113,18 @@ class TrainConfig:
     leakyrelu_rate: float = 0.2
     # --- framework additions (no reference counterpart) ---
     seed: int = 0  # torch.manual_seed(0) at main.py:52
+    # Which RNG stream draws the parameter init. 'torch' (default) = a
+    # numpy replication of torch's CPU MT19937 stream in the reference's
+    # exact Model.__init__ draw order (models/initializers.py
+    # torch_stream_init; bit-exact for uniforms, <=2 ulp for the one
+    # xavier_normal tensor) — with seed 0 this IS the draw the
+    # reference's hardcoded torch.manual_seed(0) produces. 'threefry' =
+    # jax.random threefry draws (distribution-faithful, different
+    # stream). Default is 'torch' because the round-4 variance bisect
+    # measured threefry draws landing in a ~2.5%-worse ECG loss basin
+    # ~7/14 times vs ~1/14 for the torch stream
+    # (benchmarks/variance_bisect.json; PARITY.md).
+    init_stream: str = "torch"
     # -1 = dropout stream derives from `seed` (default). >=0 decouples the
     # per-epoch dropout key root from init/shuffle — the variance-bisect
     # knob (PARITY.md "known asymmetry"): rerunning a seed with a

@@ -36,7 +36,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from stemgnn_tpu.config import StemGNNConfig, TrainConfig
 from stemgnn_tpu.data.pipeline import WindowDataset, compute_norm_stats, de_normalized
 from stemgnn_tpu.metrics import evaluate
-from stemgnn_tpu.models import stemgnn
+from stemgnn_tpu.models import initializers, stemgnn
 from stemgnn_tpu.parallel.mesh import DATA_AXIS, make_globalizer, make_mesh
 from stemgnn_tpu.train import checkpoint as ckpt
 from stemgnn_tpu.train.optim import decayed_lr, make_optimizer
@@ -441,8 +441,18 @@ def train(
         key = jax.random.PRNGKey(cfg.dropout_seed)
     if init_params_override is not None:
         params = jax.tree.map(jnp.asarray, init_params_override)
-    else:
+    elif cfg.init_stream == "torch":
+        # production default: torch-faithful MT19937 draw (round-5
+        # bad-basin mitigation — see config.init_stream / PARITY.md)
+        params = jax.tree.map(
+            jnp.asarray, initializers.torch_stream_init(cfg.seed, mcfg)
+        )
+    elif cfg.init_stream == "threefry":
         params = stemgnn.init_params(init_key, mcfg)
+    else:
+        raise ValueError(
+            f"init_stream must be 'torch' or 'threefry', got {cfg.init_stream!r}"
+        )
     if cfg.param_dtype != "float32":
         params = jax.tree.map(lambda a: a.astype(cfg.param_dtype), params)
 
