@@ -34,7 +34,8 @@ def measure(batch=32, steps=128, warmup=None, use_pallas=False, precision="float
             n_nodes=140, window=12, horizon=3, multi=5, seed=0, sparse_k=None,
             gru_hidden=None, gru_segment=0, gru_unroll=1, chunk_steps=None,
             pallas_attention=True, repeats=3, max_extra_repeats=2,
-            spread_warn=0.15):
+            spread_warn=0.15, mesh=None, force_sparse_shard=False,
+            pallas_gru=False, gru_remat=False):
     """Steady-state train-step time through the engine's scan-chunked epoch
     program (the path real training runs: scan-chunked batches per device
     dispatch, train/engine.py). Per-step host dispatch is NOT the production
@@ -67,11 +68,13 @@ def measure(batch=32, steps=128, warmup=None, use_pallas=False, precision="float
     cfg = StemGNNConfig(units=n_nodes, window_size=window, horizon=horizon,
                         multi_layer=multi, sparse_k=sparse_k,
                         gru_hidden=gru_hidden, gru_segment=gru_segment,
-                        gru_unroll=gru_unroll, pallas_attention=pallas_attention)
+                        gru_unroll=gru_unroll, pallas_attention=pallas_attention,
+                        force_sparse_shard=force_sparse_shard,
+                        pallas_gru=pallas_gru, gru_remat=gru_remat)
     params = stemgnn.init_params(jax.random.PRNGKey(seed), cfg)
     opt = make_optimizer("RMSProp", 1e-4)
     opt_state = opt.init(params)
-    epoch_fn = make_epoch_fn(cfg, opt, use_pallas, precision)
+    epoch_fn = make_epoch_fn(cfg, opt, use_pallas, precision, mesh=mesh)
 
     chunk = chunk_steps or CHUNK_SIZES[0]
     n_chunks = max(1, steps // chunk)
@@ -140,12 +143,15 @@ def measure(batch=32, steps=128, warmup=None, use_pallas=False, precision="float
               "benchmarks/results.json.", file=sys.stderr)
     windows_per_s = batch / step_time
     # "edges" = entries of the dense learned N x N graph actually pushed
-    # through the Chebyshev conv per step: the T0 basis term is identically
-    # zero (base_model.py:129 quirk) and the fast path skips it
-    # (ops/pallas_graph.py k=0 skip), so 3 of the 4 orders execute —
-    # VERDICT r3 item 7: the effective count is the headline; the raw
-    # 4-order count ships alongside for continuity with rounds 1-3.
-    edges_per_step = batch * 3 * n_nodes * n_nodes * 2
+    # through the Chebyshev conv per step, keyed on the DISPATCHED path
+    # (round-4 advisor low): the T0 basis term is identically zero
+    # (base_model.py:129 quirk) and the Pallas graph kernel skips it
+    # (ops/pallas_graph.py k=0 skip) -> 3 executed orders; the jnp twin
+    # runs the dense 4-order einsum (zeros included) -> 4. The raw
+    # 4-order count ships alongside for cross-variant comparability.
+    pallas_graph_active = bool(use_pallas and n_nodes >= cfg.pallas_min_nodes)
+    executed_orders = 3 if pallas_graph_active else 4
+    edges_per_step = batch * executed_orders * n_nodes * n_nodes * 2
     edges_per_step_raw4 = batch * 4 * n_nodes * n_nodes * 2
     # speed-of-light accounting (VERDICT r2 item 3): analytic model FLOPs
     # vs the device's published bf16 matmul peak (utils/flops.py)
@@ -162,6 +168,7 @@ def measure(batch=32, steps=128, warmup=None, use_pallas=False, precision="float
         "chunk_steps": chunk,
         "edges_per_s": edges_per_step / step_time,
         "edges_per_s_raw4": edges_per_step_raw4 / step_time,
+        "executed_cheb_orders": executed_orders,
         "loss": final_loss,
         # what forward() actually dispatched: use_pallas is silently dropped
         # below cfg.pallas_min_nodes (tiny-graph fallback, config.py), and

@@ -49,6 +49,12 @@ LARGE_CONFIGS = {
     "synthetic-4k-seggru": (4096, 12, 3, 5, 4, 64, 128, 512),
     "synthetic-32k-seggru": (32768, 12, 3, 5, 2, 64, 64, 1024),
     "synthetic-100k-seggru": (102400, 12, 3, 2, 1, 64, 64, 1024),
+    # 9th field: force_sparse_shard — route through the PRODUCTION
+    # node-sharded graph path (parallel/sparse_shard.py shard_map) on a
+    # 1x1 mesh: the collectives degenerate but the kernel/dispatch
+    # structure is the multi-chip one, compiled natively on the TPU
+    # (round-5 VERDICT item 2's measurable single-chip slice).
+    "synthetic-32k-sharded": (32768, 12, 3, 5, 2, 64, 64, 1024, True),
 }
 
 VARIANTS = {
@@ -121,6 +127,12 @@ def main():
         sparse_k = row_cfg[5] if len(row_cfg) > 5 else None
         gru_hidden = row_cfg[6] if len(row_cfg) > 6 else None
         gru_segment = row_cfg[7] if len(row_cfg) > 7 else 0
+        force_shard = bool(row_cfg[8]) if len(row_cfg) > 8 else False
+        mesh = None
+        if force_shard:
+            from stemgnn_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(1, 1, jax.devices()[:1])
         for vname in args.variants.split(","):
             use_pallas, precision = VARIANTS[vname.strip()]
             try:
@@ -130,6 +142,7 @@ def main():
                     n_nodes=n, window=w, horizon=h, multi=m, sparse_k=sparse_k,
                     gru_hidden=gru_hidden, gru_segment=gru_segment,
                     chunk_steps=args.chunk or None, repeats=args.repeats,
+                    mesh=mesh, force_sparse_shard=force_shard,
                 )
             except Exception as e:  # e.g. Pallas shape limits on a config
                 print(f"{name}/{vname}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
@@ -137,15 +150,19 @@ def main():
             row = {
                 "config": name, "n_nodes": n, "window": w, "horizon": h,
                 "batch": b, "variant": vname, "sparse_k": sparse_k,
+                "force_sparse_shard": force_shard,
                 "windows_per_s": round(res["windows_per_s"], 2),
                 "step_time_ms": round(res["step_time_ms"], 3),
                 "step_time_ms_min": round(res["step_time_ms_min"], 3),
                 "repeats": res["repeats"],
                 "spread": round(res["spread"], 4),
-                # effective edges (3 executed cheb orders — T0 is zero and
-                # the fast path skips it); raw 4-order count for continuity
+                # edges keyed on the DISPATCHED path (advisor r4): pallas
+                # graph kernel skips the zero T0 order -> 3 executed; jnp
+                # runs the dense 4-order einsum -> 4. raw4 is the
+                # cross-variant comparable count.
                 "edges_per_s": round(res["edges_per_s"]),
                 "edges_per_s_raw4": round(res["edges_per_s_raw4"]),
+                "executed_cheb_orders": res["executed_cheb_orders"],
                 # effective dispatch: pallas variants fall back to jnp below
                 # pallas_min_nodes (e.g. COVID-19 N=25), and the attention
                 # kernel has its own knob + sparse path — label per kernel

@@ -65,7 +65,7 @@ def bucket_for(name: str) -> str:
 
 
 def run_and_trace(steps: int, use_pallas: bool, precision: str,
-                  trace_dir: str):
+                  trace_dir: str, batch: int = 32):
     import jax
     import jax.numpy as jnp
 
@@ -81,7 +81,7 @@ def run_and_trace(steps: int, use_pallas: bool, precision: str,
     epoch_fn = make_epoch_fn(cfg, opt, use_pallas, precision)
     rng = np.random.default_rng(0)
     data = jnp.asarray(rng.standard_normal((4096, 140)), dtype=jnp.float32)
-    his = [jnp.asarray(rng.integers(12, 4093, size=(steps, 32)), jnp.int32)
+    his = [jnp.asarray(rng.integers(12, 4093, size=(steps, batch)), jnp.int32)
            for _ in range(2)]
     keys = jax.random.split(jax.random.PRNGKey(0), 2)
     import time
@@ -161,6 +161,9 @@ def parse_trace(trace_dir: str, steps: int, top: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=32,
+                    help="batch size (the B=64 scaling-cliff probe,"
+                         " VERDICT r4 item 5)")
     ap.add_argument("--pallas", dest="pallas", action="store_true",
                     default=True)
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
@@ -173,7 +176,8 @@ def main():
 
     precision = "bfloat16" if args.bf16 else "float32"
     with tempfile.TemporaryDirectory() as td:
-        wall, final = run_and_trace(args.steps, args.pallas, precision, td)
+        wall, final = run_and_trace(args.steps, args.pallas, precision, td,
+                                    batch=args.batch)
         per_op, plane_totals, device_planes = parse_trace(
             td, args.steps, args.top)
 
@@ -184,7 +188,7 @@ def main():
     dev_total_ms = sum(per_op.values()) / 1e6
     out = {
         "config": {"steps": args.steps, "pallas": args.pallas,
-                   "precision": precision, "n": 140, "batch": 32},
+                   "precision": precision, "n": 140, "batch": args.batch},
         "wall_step_ms": round(step_ms, 4),
         "device_time_per_step_ms": round(dev_total_ms / args.steps, 4),
         "device_planes": device_planes,

@@ -35,6 +35,12 @@ class StemGNNConfig:
     # nodes (parallel across segments, sequential depth = segment length).
     gru_hidden: Optional[int] = None
     gru_segment: int = 0  # 0 = one full-length segment
+    # dispatch the node-sharded sparse-graph path (parallel/sparse_shard)
+    # even when the 'graph' mesh axis has size 1 (collectives degenerate
+    # to no-ops). Default False (GSPMD handles the single-shard case);
+    # used by the bench to compile+measure the shard_map path natively on
+    # one TPU chip at stretch N (multi-chip hardware unavailable here).
+    force_sparse_shard: bool = False
     # measured dispatch threshold (benchmarks/results.json, v5e): below
     # ~64 nodes the Pallas kernels' grid/padding overhead exceeds the
     # fusion win (COVID-19 N=25: jnp_bf16 28.8k vs pallas_bf16 25.0k
@@ -45,6 +51,18 @@ class StemGNNConfig:
     # chain is the flagship step's floor; unrolling trades compile time /
     # code size for less per-iteration loop overhead. 1 = plain scan.
     gru_unroll: int = 1
+    # jax.checkpoint on the GRU scan step: recompute gates in the backward
+    # instead of saving ~10 [N,B,N] residual stacks (~25 MB/step flagship).
+    # Round-4 in-step A/B: tie-to-slight-loss at N=140 (1.225 vs 1.191 ms
+    # median) — default off; for memory-bound large-N configs where the
+    # residuals are the HBM high-water mark.
+    gru_remat: bool = False
+    # route the node-axis recurrence through the fused Pallas GRU kernel
+    # (ops/pallas_gru.py, persistent VMEM hidden state + resident weights)
+    # instead of the XLA lax.scan. Default off: the round-2 standalone
+    # probe tied on fwd and lost on fwd+bwd; round-5's in-step A/B
+    # (benchmarks/gru_ab.py) re-decides with the composed step.
+    pallas_gru: bool = False
     # attention kernel dispatch under use_pallas: the fused SDDMM kernel's
     # standalone fwd at N=140 measures ~30% slower than the jnp twin
     # (roofline.json) but composed better in round 2's in-step A/B; this
@@ -150,6 +168,7 @@ class TrainConfig:
     gru_segment: int = 0  # >0: segmented node recurrence (stretch; needs gru_hidden)
     pallas_min_nodes: int = 64  # below this N, --use_pallas falls back to jnp
     gru_unroll: int = 1  # lax.scan unroll for the node-axis GRU recurrence
+    gru_remat: bool = False  # checkpoint the GRU scan step (memory-bound configs)
     log_jsonl: bool = True  # structured per-epoch metrics JSONL
     profile: bool = False  # dump a jax.profiler trace of one epoch
     debug_nans: bool = False  # sanitizer mode: raise on NaN/Inf in any op
@@ -170,6 +189,7 @@ class TrainConfig:
             gru_segment=self.gru_segment,
             pallas_min_nodes=self.pallas_min_nodes,
             gru_unroll=self.gru_unroll,
+            gru_remat=self.gru_remat,
         )
 
 

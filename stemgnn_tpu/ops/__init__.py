@@ -51,7 +51,7 @@ def select_graph_conv(use_pallas: bool, precision: str = "float32"):
 
 
 def select_gru(use_pallas: bool, units: int, force_pallas_gru: bool = False,
-               unroll: int = 1):
+               unroll: int = 1, remat: bool = False):
     """GRU recurrence dispatch. Measured on v5e (benchmarks/probe.py,
     N=140 B=32): the fused Pallas kernel (ops/pallas_gru.py) ties XLA's
     lax.scan on the forward (0.74 vs 0.70 ms) but loses on fwd+bwd (1.72
@@ -64,7 +64,7 @@ def select_gru(use_pallas: bool, units: int, force_pallas_gru: bool = False,
         return gru_over_nodes_pallas
     from stemgnn_tpu.models.stemgnn import gru_over_nodes
 
-    return lambda gru, x: gru_over_nodes(gru, x, unroll=unroll)
+    return lambda gru, x: gru_over_nodes(gru, x, unroll=unroll, remat=remat)
 
 
 def select_attention(use_pallas: bool):

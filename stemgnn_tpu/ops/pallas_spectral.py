@@ -184,6 +184,10 @@ def _forward(x, glu_params, multi: int, compute_dtype=jnp.float32):
 
 
 BWD_ROW_TILE = 128
+# round-5 A/B knob (benchmarks/spectral_bwd_ab.py): False restores the
+# original explicit-transpose contractions (u.T / wl.T / ci.T built in
+# VMEM) for in-step comparison against the dot_general forms.
+TRANSPOSE_FREE_BWD = True
 
 
 def _bwd_kernel(x_ref, g_ref, ci_ref, si_ref, *refs):
@@ -222,8 +226,25 @@ def _bwd_kernel(x_ref, g_ref, ci_ref, si_ref, *refs):
             cur[chain] = a * s
 
     # --- backward ---
+    # transpose-free contractions (round-5 A/B): the original form
+    # materialized u.T / wl.T / ci.T inside the kernel; dot_general with
+    # explicit contracting dims feeds the MXU directly.
+    #   rowdot: u [R,in] x da [R,out] -> [in,out]   (contract rows)
+    #   tdot:   dy [R,out] x w [in,out] -> [R,in]   (contract out axis)
+    if TRANSPOSE_FREE_BWD:
+        rowdot = lambda a_, b_: jax.lax.dot_general(
+            a_.astype(cdtype), b_.astype(cdtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        tdot = lambda a_, w_: jax.lax.dot_general(
+            a_.astype(cdtype), w_.astype(cdtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    else:  # original explicit-transpose forms
+        rowdot = lambda a_, b_: dot(a_.T, b_)
+        tdot = lambda a_, w_: dot(a_, w_.T)
     g = g_ref[:]
-    d = [dot(g, ci_ref[:].T), dot(g, si_ref[:].T)]  # dR3, dI3
+    d = [tdot(g, ci_ref[:]), tdot(g, si_ref[:])]  # dR3, dI3 (g @ ci.T)
     for layer in range(2, -1, -1):
         for chain in range(2):
             base = layer * 8 + chain * 4
@@ -232,10 +253,9 @@ def _bwd_kernel(x_ref, g_ref, ci_ref, si_ref, *refs):
             dy = d[chain]
             da = dy * s
             dspre = dy * a * (s * (1.0 - s))
-            ut = u.T
-            dwl = dot(ut, da)
+            dwl = rowdot(u, da)
             dbl = jnp.sum(da, axis=0, keepdims=True)
-            dwr = dot(ut, dspre)
+            dwr = rowdot(u, dspre)
             dbr = jnp.sum(dspre, axis=0, keepdims=True)
             for off, grad in ((0, dwl), (1, dbl), (2, dwr), (3, dbr)):
                 ref = dglu_refs[base + off]
@@ -248,7 +268,7 @@ def _bwd_kernel(x_ref, g_ref, ci_ref, si_ref, *refs):
                 def _acc(ref=ref, grad=grad):
                     ref[:] += grad
 
-            d[chain] = dot(da, wl.T) + dot(dspre, wr.T)
+            d[chain] = tdot(da, wl) + tdot(dspre, wr)
     dx_ref[:] = d[0] + d[1]
 
 

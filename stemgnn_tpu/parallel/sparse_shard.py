@@ -66,12 +66,16 @@ def _build_graph_local(key_blk, query_blk, alpha, k, axis_name,
     scores = jax.nn.leaky_relu(scores, negative_slope=alpha)
     c = jax.nn.softmax(scores, axis=-1)  # [Nl, k]
     if dropout_rate > 0.0 and dropout_rng is not None:
-        # per-row-block mask: fold the shard index in so blocks draw
-        # independent masks (single-device parity is not bit-required for
-        # dropout — it is random regularization either way)
-        rng = jax.random.fold_in(dropout_rng, my)
+        # BITWISE-identical dropout to the single-device build: every
+        # shard draws the same global [N, k] mask (same rng, same shape
+        # as ops/sparse.py:77) and slices its own row block. The mask is
+        # bools — N*k bits even at the 100k stretch is ~6 Mbit, trivial —
+        # and keeping the stream identical makes sharded-vs-single train
+        # steps loss-EQUAL (dryrun / tests assert it).
         keep = 1.0 - dropout_rate
-        mask = jax.random.bernoulli(rng, keep, c.shape)
+        n_total = nl * jax.lax.axis_size(axis_name)
+        full_mask = jax.random.bernoulli(dropout_rng, keep, (n_total, k))
+        mask = jax.lax.dynamic_slice_in_dim(full_mask, my * nl, nl, axis=0)
         c = jnp.where(mask, c / keep, 0.0)
     degree = jnp.sum(c, axis=1)  # pre-symmetrization (base_model.py:141)
     inv_sqrt = 1.0 / (jnp.sqrt(degree) + 1e-7)

@@ -208,3 +208,40 @@ def test_param_count_matches_torch_formula():
         + (w * h + h)  # fc2
     )
     assert stemgnn.param_count(params) == expected
+
+
+def test_gru_remat_parity(params, x):
+    """cfg.gru_remat wiring (round-4 advisor low): jax.checkpoint on the
+    scan step must change neither the forward values nor the grads."""
+    gru = params["gru"]
+    xj = jnp.asarray(x)
+    plain = stemgnn.gru_over_nodes(gru, xj, remat=False)
+    remat = stemgnn.gru_over_nodes(gru, xj, remat=True)
+    np.testing.assert_allclose(np.asarray(remat), np.asarray(plain),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(fn_remat):
+        return lambda g, v: jnp.sum(
+            stemgnn.gru_over_nodes(g, v, remat=fn_remat) ** 2
+        )
+
+    g_plain = jax.grad(loss(False))(gru, xj)
+    g_remat = jax.grad(loss(True))(gru, xj)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_gru_remat_reachable_from_config(x):
+    """The knob must be dispatchable from StemGNNConfig (not code-level
+    only): forward() with gru_remat=True == default, same seed."""
+    cfg_r = StemGNNConfig(units=10, window_size=12, horizon=3, multi_layer=5,
+                          gru_remat=True, dropout_rate=0.0)
+    cfg_p = StemGNNConfig(units=10, window_size=12, horizon=3, multi_layer=5,
+                          dropout_rate=0.0)
+    p = stemgnn.init_params(jax.random.PRNGKey(0), cfg_p)
+    xj = jnp.asarray(x)
+    f_r, _ = stemgnn.forward(p, cfg_r, xj, training=False)
+    f_p, _ = stemgnn.forward(p, cfg_p, xj, training=False)
+    np.testing.assert_allclose(np.asarray(f_r), np.asarray(f_p),
+                               rtol=1e-6, atol=1e-6)

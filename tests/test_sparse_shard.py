@@ -99,3 +99,42 @@ def test_sharded_graph_under_jit_grad(mesh):
         np.testing.assert_allclose(
             np.asarray(g_sh_arr), np.asarray(g_ref_arr), rtol=1e-4, atol=5e-4
         )
+
+
+def test_production_forward_dispatches_sharded_sparse(mesh, monkeypatch):
+    """Round-5 VERDICT item 2: the production model must route sparse
+    configs through parallel/sparse_shard.py when a real 'graph' axis is
+    present — and produce the single-device sparse path's numbers."""
+    from stemgnn_tpu.config import StemGNNConfig
+    from stemgnn_tpu.models import stemgnn
+    from stemgnn_tpu.parallel import sparse_shard
+
+    cfg = StemGNNConfig(units=24, window_size=8, horizon=3, multi_layer=2,
+                        sparse_k=6, gru_hidden=8, gru_segment=0,
+                        dropout_rate=0.0)
+    params = stemgnn.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((8, 8, 24)), dtype=jnp.float32)
+
+    calls = {"build": 0, "conv": 0}
+    orig_build = sparse_shard.build_sharded_graph
+    orig_conv = sparse_shard.sharded_sparse_cheb_conv
+
+    def spy_build(*a, **kw):
+        calls["build"] += 1
+        return orig_build(*a, **kw)
+
+    def spy_conv(*a, **kw):
+        calls["conv"] += 1
+        return orig_conv(*a, **kw)
+
+    monkeypatch.setattr(sparse_shard, "build_sharded_graph", spy_build)
+    monkeypatch.setattr(sparse_shard, "sharded_sparse_cheb_conv", spy_conv)
+
+    ref_fc, _ = stemgnn.forward(params, cfg, x, training=False)
+    assert calls == {"build": 0, "conv": 0}  # no mesh -> single-device path
+    sh_fc, _ = stemgnn.forward(params, cfg, x, training=False, mesh=mesh)
+    assert calls["build"] == 1 and calls["conv"] == cfg.stack_cnt
+    np.testing.assert_allclose(
+        np.asarray(sh_fc), np.asarray(ref_fc), rtol=1e-5, atol=1e-5
+    )

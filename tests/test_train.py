@@ -299,3 +299,47 @@ def test_dropout_seed_decouples_stream(tmp_path_factory, tiny_cfg, tiny_data):
     other = losses_of(dataclasses.replace(tiny_cfg, dropout_seed=1234))
     np.testing.assert_allclose(base, same, rtol=0)  # bitwise default
     assert not np.allclose(base, other, rtol=1e-6)  # stream decoupled
+
+
+def test_shuffle_seed_decouples_stream(tmp_path_factory, tiny_cfg, tiny_data):
+    """--shuffle_seed twin of test_dropout_seed_decouples_stream (round-4
+    advisor low): -1 reproduces the coupled stream bitwise; >=0 changes
+    ONLY the epoch batch order (init/dropout stay seed-derived)."""
+    train_data, valid_data, _ = _split(tiny_data)
+
+    def losses_of(cfg):
+        out = str(tmp_path_factory.mktemp("ss"))
+        engine.train(train_data, valid_data, cfg, out)
+        with open(os.path.join(out, "metrics.jsonl")) as f:
+            return [json.loads(l)["loss"] for l in f
+                    if json.loads(l)["event"] == "epoch"]
+
+    base = losses_of(tiny_cfg)
+    same = losses_of(dataclasses.replace(tiny_cfg, shuffle_seed=-1))
+    other = losses_of(dataclasses.replace(tiny_cfg, shuffle_seed=4321))
+    np.testing.assert_allclose(base, same, rtol=0)  # bitwise default
+    assert not np.allclose(base, other, rtol=1e-6)  # batch order decoupled
+
+
+def test_init_stream_knob(tmp_path_factory, tiny_cfg, tiny_data):
+    """--init_stream: 'torch' (default) == explicit torch bitwise;
+    'threefry' draws a different init so the trajectory diverges;
+    anything else raises."""
+    train_data, valid_data, _ = _split(tiny_data)
+
+    def losses_of(cfg):
+        out = str(tmp_path_factory.mktemp("is"))
+        engine.train(train_data, valid_data, cfg, out)
+        with open(os.path.join(out, "metrics.jsonl")) as f:
+            return [json.loads(l)["loss"] for l in f
+                    if json.loads(l)["event"] == "epoch"]
+
+    base = losses_of(tiny_cfg)
+    same = losses_of(dataclasses.replace(tiny_cfg, init_stream="torch"))
+    other = losses_of(dataclasses.replace(tiny_cfg, init_stream="threefry"))
+    np.testing.assert_allclose(base, same, rtol=0)
+    assert not np.allclose(base, other, rtol=1e-6)
+    with pytest.raises(ValueError, match="init_stream"):
+        engine.train(train_data, valid_data,
+                     dataclasses.replace(tiny_cfg, init_stream="bogus"),
+                     str(tmp_path_factory.mktemp("bad")))
