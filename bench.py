@@ -35,7 +35,7 @@ def measure(batch=32, steps=128, warmup=None, use_pallas=False, precision="float
             gru_hidden=None, gru_segment=0, gru_unroll=1, chunk_steps=None,
             pallas_attention=True, repeats=3, max_extra_repeats=2,
             spread_warn=0.15, mesh=None, force_sparse_shard=False,
-            pallas_gru=False, gru_remat=False):
+            pallas_gru=None, gru_remat=None):
     """Steady-state train-step time through the engine's scan-chunked epoch
     program (the path real training runs: scan-chunked batches per device
     dispatch, train/engine.py). Per-step host dispatch is NOT the production
@@ -70,7 +70,11 @@ def measure(batch=32, steps=128, warmup=None, use_pallas=False, precision="float
                         gru_hidden=gru_hidden, gru_segment=gru_segment,
                         gru_unroll=gru_unroll, pallas_attention=pallas_attention,
                         force_sparse_shard=force_sparse_shard,
-                        pallas_gru=pallas_gru, gru_remat=gru_remat)
+                        # None = keep the StemGNNConfig defaults (so the
+                        # headline bench always measures the shipping path)
+                        **{k: v for k, v in
+                           (("pallas_gru", pallas_gru), ("gru_remat", gru_remat))
+                           if v is not None})
     params = stemgnn.init_params(jax.random.PRNGKey(seed), cfg)
     opt = make_optimizer("RMSProp", 1e-4)
     opt_state = opt.init(params)

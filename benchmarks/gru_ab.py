@@ -36,12 +36,12 @@ def main():
     from stemgnn_tpu.ops import pallas_gru as pg
 
     variants = [
-        ("scan", {}, None),
-        ("scan_remat", {"gru_remat": True}, None),
+        ("scan", {"pallas_gru": False}, None),
+        ("scan_remat", {"pallas_gru": False, "gru_remat": True}, None),
         ("pallas_gru_u8", {"pallas_gru": True}, 8),
         ("pallas_gru_u4", {"pallas_gru": True}, 4),
         ("pallas_gru_u16", {"pallas_gru": True}, 16),
-        ("scan(sentinel)", {}, None),  # drift sentinel re-measure
+        ("scan(sentinel)", {"pallas_gru": False}, None),  # drift sentinel
     ]
     rows = []
     for name, kw, unroll in variants:

@@ -58,11 +58,14 @@ class StemGNNConfig:
     # residuals are the HBM high-water mark.
     gru_remat: bool = False
     # route the node-axis recurrence through the fused Pallas GRU kernel
-    # (ops/pallas_gru.py, persistent VMEM hidden state + resident weights)
-    # instead of the XLA lax.scan. Default off: the round-2 standalone
-    # probe tied on fwd and lost on fwd+bwd; round-5's in-step A/B
-    # (benchmarks/gru_ab.py) re-decides with the composed step.
-    pallas_gru: bool = False
+    # (ops/pallas_gru.py, persistent VMEM hidden state + resident fused
+    # [H,3H] weights) instead of the XLA lax.scan — only active when the
+    # pallas path itself is on (use_pallas) and N <= pallas_gru MAX_UNITS.
+    # Default ON since round 5: the in-step A/B (benchmarks/gru_ab.json)
+    # measures 1.131-1.149 ms vs 1.196-1.25 for the scan at flagship
+    # shapes (round 2's composed loss predated the folded-DFT spectral
+    # kernel); False restores the scan.
+    pallas_gru: bool = True
     # attention kernel dispatch under use_pallas: the fused SDDMM kernel's
     # standalone fwd at N=140 measures ~30% slower than the jnp twin
     # (roofline.json) but composed better in round 2's in-step A/B; this

@@ -326,7 +326,7 @@ def latent_correlation_layer(
     # hidden sequence and the projections stay as post-scan matmuls.
     gru_fn = ops.select_gru(use_pallas, cfg.units, unroll=cfg.gru_unroll,
                             remat=cfg.gru_remat,
-                            force_pallas_gru=cfg.pallas_gru)
+                            force_pallas_gru=cfg.pallas_gru and use_pallas)
     enc = gru_fn(params["gru"], x)  # [B, N_seq, N_hid]
     # the reference's input.permute(0,2,1) — only legal because hidden==N
     enc = jnp.swapaxes(enc, 1, 2)  # [B, N_hid, N_seq]

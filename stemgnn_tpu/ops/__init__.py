@@ -52,12 +52,14 @@ def select_graph_conv(use_pallas: bool, precision: str = "float32"):
 
 def select_gru(use_pallas: bool, units: int, force_pallas_gru: bool = False,
                unroll: int = 1, remat: bool = False):
-    """GRU recurrence dispatch. Measured on v5e (benchmarks/probe.py,
-    N=140 B=32): the fused Pallas kernel (ops/pallas_gru.py) ties XLA's
-    lax.scan on the forward (0.74 vs 0.70 ms) but loses on fwd+bwd (1.72
-    vs 1.03 ms — the reverse-grid backward streams 4 blocks/step), so the
-    scan twin is the default even under --use_pallas; the kernel stays
-    in-tree, tested, and opt-in for future tuning."""
+    """GRU recurrence dispatch. History: the round-2 standalone probe had
+    the fused Pallas kernel tying lax.scan on fwd and losing on fwd+bwd,
+    so the scan was the default through round 4. Round-5 re-measured
+    IN-STEP after the spectral-kernel redesign (benchmarks/gru_ab.json):
+    the kernel now wins composed (1.131-1.149 ms vs 1.196-1.25 at
+    UNROLL=16, flagship pallas-bf16), so config.pallas_gru defaults True
+    and the model passes force_pallas_gru when the pallas path is active
+    (N <= MAX_UNITS guard below; scan twin above it and when off)."""
     if force_pallas_gru and units <= 512:
         from stemgnn_tpu.ops.pallas_gru import gru_over_nodes_pallas
 

@@ -54,7 +54,12 @@ MAX_UNITS = 512
 # is zero-padded to a multiple of U; padded steps compute garbage h that
 # nothing reads, and in the backward the padded cotangents are zero so
 # the dh carry stays exact (see _vjp_bwd).
-UNROLL = 8
+# Round-5 in-step A/B (benchmarks/gru_ab.json, flagship pallas-bf16):
+# U=16 1.131 ms / U=4 1.141 / U=8 1.149 vs lax.scan 1.196-1.25 — the
+# kernel now WINS composed (~5%; round 2's composed loss predated the
+# folded-DFT spectral kernel and chunked-epoch program), so it is the
+# default GRU under --use_pallas (config.pallas_gru) with U=16.
+UNROLL = 16
 # saved forward activations per step: r, z, hpn, c, (h_prev - c)
 N_SAVED = 5
 

@@ -184,10 +184,15 @@ def _forward(x, glu_params, multi: int, compute_dtype=jnp.float32):
 
 
 BWD_ROW_TILE = 128
-# round-5 A/B knob (benchmarks/spectral_bwd_ab.py): False restores the
-# original explicit-transpose contractions (u.T / wl.T / ci.T built in
-# VMEM) for in-step comparison against the dot_general forms.
-TRANSPOSE_FREE_BWD = True
+# Round-5 in-step A/B (benchmarks/spectral_bwd_ab.json, v5e, same-run):
+#   explicit-transpose tile=128 (this default) 1.172 ms | dot_general
+#   "transpose-free" tile=128 1.208-1.213 | tile=256 1.24-1.26 either way.
+# The dot_general row/out-axis contractions looked like they should save
+# VPU transposes but measure 3% SLOWER composed — Mosaic already folds
+# the u.T/wl.T forms into MXU operand layouts, and the dim-0-contraction
+# dot_general forces a worse internal layout. Keep False; knob retained
+# for re-measurement on other shapes.
+TRANSPOSE_FREE_BWD = False
 
 
 def _bwd_kernel(x_ref, g_ref, ci_ref, si_ref, *refs):
