@@ -101,6 +101,35 @@ def _kernel(x_ref, ci_ref, si_ref, *glu_refs):
     )
 
 
+def _kernel_save(x_ref, ci_ref, si_ref, *refs):
+    """Forward twin of _kernel that additionally SAVES each GLU's linear
+    output `a` and gate `s` for the reread backward (VERDICT r4 item 3 /
+    ROADMAP 3: recompute-vs-reread A/B). refs = 24 GLU param refs, then
+    outputs [out, a0, s0, ..., a5, s5] (acts in the compute dtype)."""
+    glu_refs = refs[:24]
+    out_ref = refs[24]
+    act_refs = refs[25:]
+    x = x_ref[:]
+    cdtype = x_ref.dtype
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    cur = [x, x]  # DFT folded into layer-0 weights
+    for layer in range(3):
+        for chain in range(2):  # 0 = real (even GLU), 1 = imag (odd GLU)
+            wl, bl, wr, br = (
+                glu_refs[layer * 8 + chain * 4 + j][:] for j in range(4)
+            )
+            u = cur[chain].astype(cdtype)
+            a = dot(u, wl) + bl
+            s = jax.nn.sigmoid(dot(u, wr) + br)
+            gi = layer * 2 + chain
+            act_refs[2 * gi][:] = a.astype(act_refs[2 * gi].dtype)
+            act_refs[2 * gi + 1][:] = s.astype(act_refs[2 * gi + 1].dtype)
+            cur[chain] = a * s
+    out_ref[:] = dot(cur[0].astype(cdtype), ci_ref[:]) + dot(
+        cur[1].astype(cdtype), si_ref[:]
+    )
+
+
 def _flat_glu_args(glu_params):
     args = []
     for p in glu_params:
@@ -131,7 +160,8 @@ def _fold_dft(glu_args, cf, sf):
     return out
 
 
-def _forward(x, glu_params, multi: int, compute_dtype=jnp.float32):
+def _forward(x, glu_params, multi: int, compute_dtype=jnp.float32,
+             save_acts: bool = False):
     b, k, n, w = x.shape
     wm = w * multi
     rows = b * n
@@ -161,23 +191,45 @@ def _forward(x, glu_params, multi: int, compute_dtype=jnp.float32):
         full(ci), full(si),
         *[full(a) for a in glu_args],
     ]
+    row_out = lambda dt: pl.BlockSpec(
+        (ROW_TILE, k * wm), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    cost = pl.CostEstimate(
+        flops=2 * total * (
+            2 * (k * w) * (k * wm) * 2  # GLU layer 0 (DFT folded in)
+            + 4 * (k * wm) ** 2 * 2  # GLU layers 1-2
+            + 2 * (k * wm) ** 2  # inverse DFT
+        ),
+        bytes_accessed=4 * total * k * (w + wm),
+        transcendentals=total * k * wm * 6,
+    )
+    if save_acts:
+        # 12 extra outputs (a, s per GLU) — the reread backward's
+        # residuals (one HBM write here + one read there, vs recomputing
+        # 12 matmuls + 6 sigmoid sweeps in bwd). f32 storage makes the
+        # reread grads BITWISE equal to the recompute kernel's (same
+        # values, same contraction order); compute-dtype storage halves
+        # the traffic at bf16-ulp grad drift (both A/B'd).
+        act_dtype = jnp.float32 if SAVE_ACTS_F32 else compute_dtype
+        outs = pl.pallas_call(
+            _kernel_save,
+            grid=(total // ROW_TILE,),
+            in_specs=in_specs,
+            out_specs=[row_out(None)] + [row_out(None)] * 12,
+            out_shape=[jax.ShapeDtypeStruct((total, k * wm), jnp.float32)]
+            + [jax.ShapeDtypeStruct((total, k * wm), act_dtype)] * 12,
+            cost_estimate=cost,
+        )(xr, ci, si, *glu_args)
+        out, acts = outs[0], list(outs[1:])
+        out = out[:rows].reshape(b, n, k, wm)
+        return jnp.transpose(out, (0, 2, 1, 3)), acts
     out = pl.pallas_call(
         _kernel,
         grid=(total // ROW_TILE,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (ROW_TILE, k * wm), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=row_out(None),
         out_shape=jax.ShapeDtypeStruct((total, k * wm), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * total * (
-                2 * (k * w) * (k * wm) * 2  # GLU layer 0 (DFT folded in)
-                + 4 * (k * wm) ** 2 * 2  # GLU layers 1-2
-                + 2 * (k * wm) ** 2  # inverse DFT
-            ),
-            bytes_accessed=4 * total * k * (w + wm),
-            transcendentals=total * k * wm * 6,
-        ),
+        cost_estimate=cost,
     )(xr, ci, si, *glu_args)
     out = out[:rows].reshape(b, n, k, wm)
     return jnp.transpose(out, (0, 2, 1, 3))
@@ -354,6 +406,147 @@ def _backward(x, glu_params, g, multi: int, compute_dtype=jnp.float32):
     return dx, dglu
 
 
+# Round-5 A/B knob (VERDICT r4 item 3 / ROADMAP 3): True = the forward
+# kernel saves each GLU's (a, s) activations and the backward REREADS
+# them instead of recomputing the chain (12 matmuls + 6 sigmoid sweeps
+# per call traded for ~2x12 row-tiled HBM round-trips). Read at trace
+# time; benchmarks/spectral_bwd_ab.py measures both in-step.
+SAVE_ACTS_BWD = False
+# f32 act storage (bitwise-equal grads to the recompute kernel) vs
+# compute-dtype storage (half the act traffic, bf16-ulp grad drift).
+SAVE_ACTS_F32 = True
+
+
+def _bwd_kernel_reread(x_ref, g_ref, ci_ref, si_ref, *refs):
+    """Reread backward: consumes the forward's saved (a, s) per GLU.
+
+    refs = 24 GLU param refs + 12 act refs (a0, s0, ..., a5, s5), then
+    dx_ref + 24 GLU grad refs. Identical backward math to _bwd_kernel;
+    only the recompute sweep is replaced by reads. Each GLU's input `u`
+    is rebuilt elementwise from the previous layer's a*s (layer 0's is
+    the x tile itself) — no matmuls, no transcendentals."""
+    glu_refs = refs[:24]
+    act_refs = refs[24:36]
+    dx_ref = refs[36]
+    dglu_refs = refs[37:]
+    first = pl.program_id(0) == 0
+    cdtype = x_ref.dtype
+    dot = lambda a, b: jnp.dot(
+        a.astype(cdtype), b.astype(cdtype), preferred_element_type=jnp.float32
+    )
+
+    # --- rebuild (u, a, s) per GLU from the saved activations ---
+    saved = []
+    cur = [x_ref[:], x_ref[:]]
+    for layer in range(3):
+        for chain in range(2):
+            gi = layer * 2 + chain
+            a = act_refs[2 * gi][:].astype(jnp.float32)
+            s = act_refs[2 * gi + 1][:].astype(jnp.float32)
+            saved.append((cur[chain].astype(cdtype), a, s))
+            cur[chain] = a * s
+
+    # --- backward (same contraction forms as _bwd_kernel's default) ---
+    rowdot = lambda a_, b_: dot(a_.T, b_)
+    tdot = lambda a_, w_: dot(a_, w_.T)
+    g = g_ref[:]
+    d = [tdot(g, ci_ref[:]), tdot(g, si_ref[:])]
+    for layer in range(2, -1, -1):
+        for chain in range(2):
+            base = layer * 8 + chain * 4
+            wl, wr = glu_refs[base][:], glu_refs[base + 2][:]
+            u, a, s = saved[layer * 2 + chain]
+            dy = d[chain]
+            da = dy * s
+            dspre = dy * a * (s * (1.0 - s))
+            dwl = rowdot(u, da)
+            dbl = jnp.sum(da, axis=0, keepdims=True)
+            dwr = rowdot(u, dspre)
+            dbr = jnp.sum(dspre, axis=0, keepdims=True)
+            for off, grad in ((0, dwl), (1, dbl), (2, dwr), (3, dbr)):
+                ref = dglu_refs[base + off]
+
+                @pl.when(first)
+                def _init(ref=ref, grad=grad):
+                    ref[:] = grad
+
+                @pl.when(jnp.logical_not(first))
+                def _acc(ref=ref, grad=grad):
+                    ref[:] += grad
+
+            d[chain] = tdot(da, wl) + tdot(dspre, wr)
+    dx_ref[:] = d[0] + d[1]
+
+
+def _backward_reread(x, glu_params, g, acts, multi: int,
+                     compute_dtype=jnp.float32):
+    """Reread variant of _backward: feeds the forward's saved activations
+    into _bwd_kernel_reread. The act arrays are padded to the FORWARD's
+    row tile (>= the bwd's padding since ROW_TILE is a multiple of
+    BWD_ROW_TILE's granularity); padded rows carry g == 0 so they
+    contribute nothing to any gradient."""
+    b, k, n, w = x.shape
+    wm = w * multi
+    rows = b * n
+    xr = jnp.transpose(x, (0, 2, 1, 3)).reshape(rows, k * w)
+    gr = jnp.transpose(g, (0, 2, 1, 3)).reshape(rows, k * wm)
+    pad_rows = -rows % BWD_ROW_TILE
+    if pad_rows:
+        xr = jnp.pad(xr, ((0, pad_rows), (0, 0)))
+        gr = jnp.pad(gr, ((0, pad_rows), (0, 0)))
+    total = rows + pad_rows
+    cf, sf, ci, si = (jnp.asarray(m) for m in _dft_matrices(w, k, wm))
+    glu_args = _fold_dft(_flat_glu_args(glu_params), cf, sf)
+    if compute_dtype != jnp.float32:
+        xr = xr.astype(compute_dtype)
+        gr = gr.astype(compute_dtype)
+        ci, si = (m.astype(compute_dtype) for m in (ci, si))
+        glu_args = [
+            a.astype(compute_dtype) if a.ndim == 2 and a.shape[0] > 1 else a
+            for a in glu_args
+        ]
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    row_spec = lambda cols: pl.BlockSpec(
+        (BWD_ROW_TILE, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        row_spec(k * w), row_spec(k * wm),
+        full(ci), full(si),
+        *[full(a) for a in glu_args],
+        *[row_spec(k * wm) for _ in acts],
+    ]
+    out_shape = [jax.ShapeDtypeStruct((total, k * w), jnp.float32)] + [
+        jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in glu_args
+    ]
+    out_specs = [row_spec(k * w)] + [
+        pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for a in glu_args
+    ]
+    outs = pl.pallas_call(
+        _bwd_kernel_reread,
+        grid=(total // BWD_ROW_TILE,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(xr, gr, ci, si, *glu_args, *acts)
+    dx = outs[0][:rows].reshape(b, n, k, w)
+    dx = jnp.transpose(dx, (0, 2, 1, 3)).astype(x.dtype)
+    flat = list(outs[1:])
+    flat[0] = cf.T @ flat[0]
+    flat[2] = cf.T @ flat[2]
+    flat[4] = sf.T @ flat[4]
+    flat[6] = sf.T @ flat[6]
+    leaves = []
+    for li in range(6):
+        dwl, dbl, dwr, dbr = flat[li * 4 : li * 4 + 4]
+        leaves.extend([dbl[0], dwl, dbr[0], dwr])
+    dglu = jax.tree.unflatten(jax.tree.structure(glu_params), leaves)
+    return dx, dglu
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def spe_seq_cell_pallas(x, glu_params, multi: int, compute_dtype=jnp.float32):
     """Pallas twin of jnp_impl.spe_seq_cell: [B,K,N,W] -> [B,K,N,W*multi].
@@ -364,11 +557,17 @@ def spe_seq_cell_pallas(x, glu_params, multi: int, compute_dtype=jnp.float32):
 
 
 def _fwd(x, glu_params, multi, compute_dtype):
-    return _forward(x, glu_params, multi, compute_dtype), (x, glu_params)
+    if SAVE_ACTS_BWD:
+        out, acts = _forward(x, glu_params, multi, compute_dtype,
+                             save_acts=True)
+        return out, (x, glu_params, acts)
+    return _forward(x, glu_params, multi, compute_dtype), (x, glu_params, None)
 
 
 def _bwd(multi, compute_dtype, res, g):
-    x, glu_params = res
+    x, glu_params, acts = res
+    if acts is not None:
+        return _backward_reread(x, glu_params, g, acts, multi, compute_dtype)
     return _backward(x, glu_params, g, multi, compute_dtype)
 
 

@@ -245,6 +245,51 @@ def test_fused_backward_multi_tile_accumulation():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_spectral_reread_backward_matches_recompute():
+    """SAVE_ACTS_BWD=True (fwd saves GLU (a, s); bwd rereads instead of
+    recomputing — round-5 A/B, VERDICT r4 item 3). With f32 act storage
+    the grads must be BITWISE equal to the recompute kernel's (identical
+    values, identical contraction order); with compute-dtype (bf16)
+    storage they drift only at bf16 ulp. Multi-tile rows (300 > 2x128)
+    pin the accumulation path; row padding (300 % 256 != 0) pins the
+    fwd-tile/bwd-tile padding mismatch handling."""
+    from stemgnn_tpu.ops import pallas_spectral as ps
+
+    cfg = StemGNNConfig(units=150, window_size=12, horizon=3, multi_layer=5)
+    p = stemgnn.init_params(jax.random.PRNGKey(13), cfg)
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((2, 4, cfg.units, cfg.window_size)),
+                    dtype=jnp.float32)
+    glu = p["blocks"][0]["glu"]
+
+    def grads(compute_dtype):
+        return jax.grad(lambda xx, gg: jnp.sum(
+            spe_seq_cell_pallas(xx, gg, cfg.multi_layer, compute_dtype)
+            .astype(jnp.float32) ** 2), argnums=(0, 1))(x, glu)
+
+    try:
+        ps.SAVE_ACTS_BWD = False
+        rec_f32 = grads(jnp.float32)
+        rec_bf16 = grads(jnp.bfloat16)
+        ps.SAVE_ACTS_BWD = True
+        ps.SAVE_ACTS_F32 = True
+        rr_f32 = grads(jnp.float32)
+        rr_bf16_f32acts = grads(jnp.bfloat16)
+        ps.SAVE_ACTS_F32 = False
+        rr_bf16_bf16acts = grads(jnp.bfloat16)
+    finally:
+        ps.SAVE_ACTS_BWD = False
+        ps.SAVE_ACTS_F32 = True
+
+    for got, want in ((rr_f32, rec_f32), (rr_bf16_f32acts, rec_bf16)):
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(rr_bf16_bf16acts),
+                    jax.tree.leaves(rec_bf16)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=0.5, rtol=0.05)
+
+
 def test_attention_kq_matches_twin_and_grads(params):
     """The kq-level kernel (production dense path; key/query arrive from
     post-scan matmuls on the GRU encoding) == jnp twin, values and
