@@ -47,6 +47,10 @@ def bucket_for(name: str) -> str:
             return "attention_pallas"
         if "140,140]" in n:
             return "cheb_pallas"
+        if ",32,140]" in n:
+            # persistent-VMEM GRU kernel (ops/pallas_gru.py): fwd/bwd
+            # custom-calls carry [T_pad, B, N]-shaped operands
+            return "gru_pallas"
         return "pallas_other"
     if n.startswith("%while"):
         if "4096,140]" in n:
