@@ -58,10 +58,34 @@ MAX_UNITS = 512
 # U=16 1.131 ms / U=4 1.141 / U=8 1.149 vs lax.scan 1.196-1.25 — the
 # kernel now WINS composed (~5%; round 2's composed loss predated the
 # folded-DFT spectral kernel and chunked-epoch program), so it is the
-# default GRU under --use_pallas (config.pallas_gru) with U=16.
+# default GRU under --use_pallas (config.pallas_gru), with the unroll
+# CAPPED by the VMEM budget below (round-5 follow-up: U=16 at B>=128
+# put 20.1 MB of double-buffered blocks on the 16 MB scoped-VMEM stack
+# and failed real-TPU compilation; _pick_unroll chooses the largest
+# fitting U, and gru_over_nodes_pallas falls back to the lax.scan twin
+# when even U=1 cannot fit).
 UNROLL = 16
 # saved forward activations per step: r, z, hpn, c, (h_prev - c)
 N_SAVED = 5
+# conservative per-kernel scoped-VMEM budget (hardware limit 16 MB; the
+# margin covers Mosaic's own stack temporaries and sublane padding)
+VMEM_BUDGET_BYTES = 14 * 2**20
+
+
+def _pick_unroll(b: int, nh: int) -> int | None:
+    """Largest grid unroll whose VMEM working set fits the budget.
+
+    Per grid step the fwd kernel holds xp [U,3,B,H] + out [U,B,H] +
+    sv [U,5,B,H] blocks (9·U·B·H floats), double-buffered by the
+    pipeline, plus the resident fused weights [H,3H] and the h scratch
+    [B,H]; the bwd kernel's set (sv + g + dxp) has the same 9·U·B·H
+    shape. Deterministic in (b, nh) so the custom_vjp fwd and bwd pick
+    the same U."""
+    fixed = 4 * (3 * nh * nh + b * nh)
+    for u in (UNROLL, 8, 4, 2, 1):
+        if fixed + 2 * 4 * u * 9 * b * nh <= VMEM_BUDGET_BYTES:
+            return u
+    return None
 
 
 def _dot(a, b):
@@ -151,22 +175,29 @@ def _fuse_weights(a3, bh3):
 
 def _run_forward(x_proj, a3, bh3):
     n, _, b, nh = x_proj.shape
+    unroll = _pick_unroll(b, nh)
+    if unroll is None:
+        raise ValueError(
+            f"gru_scan_pallas: no grid unroll fits VMEM at B={b}, H={nh} "
+            "— call gru_over_nodes_pallas (which falls back to the scan) "
+            "or use the lax.scan twin directly"
+        )
     a_all, b_all = _fuse_weights(a3, bh3)
-    n_pad = -(-n // UNROLL) * UNROLL
+    n_pad = -(-n // unroll) * unroll
     xp = _pad_time(x_proj, n_pad)
     hs, saved = pl.pallas_call(
         _fwd_kernel,
-        grid=(n_pad // UNROLL,),
+        grid=(n_pad // unroll,),
         in_specs=[
-            pl.BlockSpec((UNROLL, 3, b, nh), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((unroll, 3, b, nh), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             _full(a_all.shape),
             _full(b_all.shape),
         ],
         out_specs=[
-            pl.BlockSpec((UNROLL, b, nh), lambda t: (t, 0, 0),
+            pl.BlockSpec((unroll, b, nh), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((UNROLL, N_SAVED, b, nh), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((unroll, N_SAVED, b, nh), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -205,8 +236,9 @@ def _vjp_bwd(res, g):
     a3, hs, saved = res
     a_all, _ = _fuse_weights(a3, jnp.zeros((3, 1, a3.shape[-1]), a3.dtype))
     n, b, nh = hs.shape
-    n_pad = -(-n // UNROLL) * UNROLL
-    nb = n_pad // UNROLL
+    unroll = _pick_unroll(b, nh)  # deterministic in (b, nh): matches fwd
+    n_pad = -(-n // unroll) * unroll
+    nb = n_pad // unroll
     sv_p = _pad_time(saved, n_pad)
     g_p = _pad_time(g, n_pad)  # zero cotangents keep the padded dh exact
     # padded saved slots are zeros -> z=0 -> dh carries through unchanged
@@ -216,12 +248,12 @@ def _vjp_bwd(res, g):
         _bwd_kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((UNROLL, N_SAVED, b, nh), rev4,
+            pl.BlockSpec((unroll, N_SAVED, b, nh), rev4,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((UNROLL, b, nh), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((unroll, b, nh), rev3, memory_space=pltpu.VMEM),
             _full(a_all.shape),
         ],
-        out_specs=pl.BlockSpec((UNROLL, 3, b, nh), rev4,
+        out_specs=pl.BlockSpec((unroll, 3, b, nh), rev4,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 3, b, nh), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b, nh), jnp.float32)],
@@ -252,8 +284,15 @@ def gru_over_nodes_pallas(gru, x):
 
     The hoisted input projection and the parameter-layout reshapes stay in
     XLA (differentiated automatically around the custom_vjp core).
+    Falls back to the lax.scan twin when no grid unroll fits the VMEM
+    budget (huge B*N — the kernel's win is latency amortization, which a
+    shape that large no longer needs).
     """
     b, w, n = x.shape
+    if _pick_unroll(b, n) is None:
+        from stemgnn_tpu.models.stemgnn import gru_over_nodes
+
+        return gru_over_nodes(gru, x)
     xs = jnp.transpose(x, (2, 0, 1))  # [N, B, W]
     x_proj = jnp.einsum("nbw,gw->nbg", xs, gru["w_ih"]) + gru["b_ih"]  # [N,B,3N]
     x_proj = jnp.transpose(x_proj.reshape(n, b, 3, n), (0, 2, 1, 3))  # [N,3,B,N]

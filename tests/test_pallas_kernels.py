@@ -164,6 +164,61 @@ def test_gru_scan_grad(params):
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_gru_unroll_vmem_cap_and_fallback(params):
+    """Round-5 fix: U=16 at B>=128 put 20.1 MB of double-buffered blocks
+    on the 16 MB scoped-VMEM stack and failed real-TPU compilation.
+    _pick_unroll must shrink the grid unroll to fit (B=128/H=140 -> 8,
+    B=256 -> 4) with grads still matching the scan twin, and
+    gru_over_nodes_pallas must fall back to the scan when nothing fits."""
+    from stemgnn_tpu.ops import pallas_gru
+
+    assert pallas_gru._pick_unroll(32, 140) == 16  # flagship unchanged
+    assert pallas_gru._pick_unroll(128, 140) == 8
+    assert pallas_gru._pick_unroll(256, 140) == 4
+
+    rng = np.random.default_rng(21)
+    # B grown until the budget picks a REDUCED unroll (covers the
+    # unroll != 16 padding/grid path at CFG's small H)
+    b = 64
+    while pallas_gru._pick_unroll(b, CFG.units) == 16:
+        b *= 2
+    x = jnp.asarray(rng.standard_normal((b, CFG.window_size, CFG.units)),
+                    dtype=jnp.float32)
+    wgt = jnp.asarray(
+        rng.standard_normal((b, CFG.units, CFG.units)), dtype=jnp.float32)
+
+    def loss(fn, gru, xx):
+        return jnp.sum(wgt * fn(gru, xx))
+
+    g1 = jax.grad(lambda gru, xx: loss(
+        pallas_gru.gru_over_nodes_pallas, gru, xx),
+        argnums=(0, 1))(params["gru"], x)
+    g2 = jax.grad(lambda gru, xx: loss(stemgnn.gru_over_nodes, gru, xx),
+                  argnums=(0, 1))(params["gru"], x)
+    for a, c in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-4, rtol=1e-4)
+
+    # fallback: shrink the budget so nothing fits -> the scan twin runs
+    # (bitwise-identical outputs, no pallas_call)
+    old = pallas_gru.VMEM_BUDGET_BYTES
+    try:
+        pallas_gru.VMEM_BUDGET_BYTES = 1
+        assert pallas_gru._pick_unroll(2, CFG.units) is None
+        xs = x[:2]
+        got = pallas_gru.gru_over_nodes_pallas(params["gru"], xs)
+        want = stemgnn.gru_over_nodes(params["gru"], xs)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        with pytest.raises(ValueError, match="no grid unroll fits"):
+            pallas_gru.gru_scan_pallas(
+                jnp.zeros((4, 3, 2, CFG.units)),
+                jnp.zeros((3, CFG.units, CFG.units)),
+                jnp.zeros((3, 1, CFG.units)),
+            )
+    finally:
+        pallas_gru.VMEM_BUDGET_BYTES = old
+
+
 def test_full_forward_pallas_matches_jnp(params):
     """End-to-end: forward(use_pallas=True) == forward(use_pallas=False)."""
     rng = np.random.default_rng(6)
